@@ -1,0 +1,128 @@
+"""Configuration for the TPU-native Product-Quantization-Tree engine.
+
+The reference scatters its operating points across compile-time #defines and
+hard-coded magic numbers (reference: pqt/PerturbationProTree.hh:11-12,
+pqt/ProTree.hh:9-13, pqt/PerturbationProTree.cu:1237,8185-8218,7665).  Here
+every knob lives in one frozen dataclass so a single config object fully
+determines tree shape, database layout, and query behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class PQTConfig:
+    """Shape + behavior of a two-level product-quantization tree.
+
+    Mirrors the reference's template/CLI parameters:
+      dim, p, c1, c2          -- tool_createdb.cpp:26-35
+      line_parts (LP)         -- PerturbationProTree.cu:7665 (16) / test1B.cpp (32)
+      hash_size               -- PerturbationProTree.hh:12 (4e8)
+      k1_build                -- PerturbationProTree.cu:1237 (16)
+      k1_query (W)            -- PerturbationProTree.cu:8185 (8)
+      max_bins                -- PerturbationProTree.cu:8218 (4096)
+      max_candidates (k2)     -- PerturbationProTree.cu:8185 (4096)
+      max_vec_per_bin         -- caps 280/2048/2800 (PerturbationProTree.cu:2451,6208,4970)
+    """
+
+    # --- geometry -----------------------------------------------------------
+    dim: int = 128          # vector dimensionality
+    p: int = 4              # number of coarse parts (segments)
+    c1: int = 16            # level-1 centroids per part
+    c2: int = 16            # level-2 (refinement) centroids per (part, l1) cell
+    line_parts: int = 16    # re-ranking sub-segments (LP); dim % line_parts == 0
+
+    # --- database -----------------------------------------------------------
+    hash_size: int = 1 << 22   # inverted-file slots; bin ids are taken mod this
+    k1_build: int = 16         # L1 candidates considered while encoding the DB
+
+    # --- query --------------------------------------------------------------
+    k1_query: int = 8          # L1 candidates per part at query time (a.k.a. W)
+    max_bins: int = 4096       # bins probed per query
+    bin_enum_factor: int = 4   # enumerate factor*max_bins traversal entries, keep
+                               # the first max_bins non-empty (reference maxTrials)
+    max_candidates: int = 4096  # candidate vectors gathered per query (k2)
+    max_vec_per_bin: int = 1024  # per-bin candidate cap during gather
+
+    # --- training -----------------------------------------------------------
+    kmeans_iters: int = 30       # max Lloyd iterations per LBG level
+    kmeans_churn_tol: float = 2e-3   # stop when < this fraction changes assignment
+    kmeans_move_tol: float = 5e-3    # ... and centroid movement below this
+    split_epsilon: float = 1e-3      # LBG split perturbation (vectorquantizer.hpp)
+    train_subsample: int = 0         # 0 = use all provided training vectors
+    seed: int = 1234
+
+    # --- numerics -----------------------------------------------------------
+    dtype: str = "float32"       # accumulation dtype for distances
+    compute_dtype: str = "float32"  # matmul input dtype ("bfloat16" to use MXU bf16)
+
+    # ------------------------------------------------------------------------
+    @property
+    def vl(self) -> int:
+        """Sub-vector length per coarse part (reference d_vl)."""
+        return self.dim // self.p
+
+    @property
+    def lvl(self) -> int:
+        """Sub-vector length per line (re-rank) part."""
+        return self.dim // self.line_parts
+
+    @property
+    def lp_per_part(self) -> int:
+        """Line-parts per coarse part (LP/P in cpu_version/treequantizer.hpp:901)."""
+        return self.line_parts // self.p
+
+    @property
+    def n_bins_unhashed(self) -> int:
+        """(c1*c2)^p before modulo hashing (ProTree.cu:1491)."""
+        return (self.c1 * self.c2) ** self.p
+
+    @property
+    def part_radix(self) -> int:
+        """Per-part code radix c1*c2."""
+        return self.c1 * self.c2
+
+    def __post_init__(self):
+        if self.dim % self.p != 0:
+            raise ValueError(f"dim ({self.dim}) must be divisible by p ({self.p})")
+        if self.dim % self.line_parts != 0:
+            raise ValueError(
+                f"dim ({self.dim}) must be divisible by line_parts ({self.line_parts})")
+        if self.line_parts % self.p != 0:
+            raise ValueError(
+                f"line_parts ({self.line_parts}) must be divisible by p ({self.p})")
+        if self.c1 > 256 or self.c2 > 256:
+            raise ValueError("c1/c2 must fit in uint8 for line codes / bin codes")
+        if self.k1_query > self.c1:
+            raise ValueError("k1_query (W) must be <= c1")
+        if self.k1_build > self.c1:
+            raise ValueError("k1_build must be <= c1")
+
+    # --- (de)serialization --------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PQTConfig":
+        return cls(**json.loads(s))
+
+    def replace(self, **kw) -> "PQTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# De-facto reference operating points (BASELINE.md).
+SIFT1M_CONFIG = PQTConfig(dim=128, p=4, c1=16, c2=16, line_parts=16,
+                          k1_build=16, k1_query=8, max_bins=4096,
+                          max_candidates=4096, hash_size=1 << 22)
+
+SIFT1B_CONFIG = PQTConfig(dim=128, p=4, c1=16, c2=16, line_parts=32,
+                          k1_build=16, k1_query=16, max_bins=64 * 8192,
+                          max_candidates=32768, hash_size=400_000_000)
+
+GIST1M_CONFIG = PQTConfig(dim=960, p=4, c1=16, c2=16, line_parts=32,
+                          k1_build=16, k1_query=8, max_bins=4096,
+                          max_candidates=4096, hash_size=1 << 22)

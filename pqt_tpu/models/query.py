@@ -1,0 +1,158 @@
+"""Multi-probe query pipeline, fully jitted with static shapes.
+
+Stages (reference queryKNN, PerturbationProTree.cu:8179-8323):
+
+  1. L1 tables + per-part k1 best cells (getKBestAssignment);
+  2. line tables: query-segment distances to all c1 virtual centroids
+     (getLineAssignment);
+  3. per-part sorted (k1*c2) refinement lists (getKBestAssignment2);
+  4. candidate-bin enumeration via the precomputed traversal sequence with
+     occupancy filtering and compaction (selectBinKernelFast2);
+  5. fixed-budget candidate gather from the CSR inverted file
+     (getKVectorIDsKernelFast);
+  6. line re-rank: approximate distances from packed codes via triangle
+     reconstruction (rerankKernelFast) and final top-k;
+  7. optional exact re-rank over the top candidates when the database keeps
+     raw vectors (queryBIGKNNRerankPerfect analog).
+
+Everything is static-shape: the data-dependent while-loops of the reference
+become fixed enumeration budgets + masks, which is both TPU-compilable and
+deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import PQTDatabase
+from pqt_tpu.models.tree import (PQTree, level1_tables, level2_tables,
+                                 line_tables)
+from pqt_tpu.ops import binning, distseq
+from pqt_tpu.ops.linecodes import reconstruct_dists
+
+
+class QueryResult(NamedTuple):
+    indices: jax.Array      # (B, k) int32 database vector ids
+    dists: jax.Array        # (B, k) float32 (approx or exact, by pipeline)
+    n_candidates: jax.Array  # (B,) int32 candidates actually re-ranked
+
+
+def _sorted_part_lists(cfg: PQTConfig, tree: PQTree, queries: jax.Array):
+    """Per-part candidate (l1, l2) lists sorted by refinement distance.
+
+    Returns (sorted_d2 (B, p, L), sorted_codes (B, p, L)) with L = k1*c2,
+    plus the line tables (B, lp, c1).  Mirrors getKBestAssignment2 +
+    the per-part bitonic sort (PerturbationProTree.cu:1534-1693).
+    """
+    W = cfg.k1_query
+    d1 = level1_tables(cfg, tree, queries)               # (B, p, c1)
+    d2 = level2_tables(cfg, tree, queries)               # (B, p, c1, c2)
+    _, l1_idx = jax.lax.top_k(-d1, W)                    # (B, p, W)
+    cand_d2 = jnp.take_along_axis(d2, l1_idx[..., None], axis=2)
+    B, p = cand_d2.shape[:2]
+    L = W * cfg.c2
+    flat_d2 = cand_d2.reshape(B, p, L)
+    codes = (l1_idx[..., None] * cfg.c2 +
+             jnp.arange(cfg.c2, dtype=jnp.int32)).reshape(B, p, L)
+    order = jnp.argsort(flat_d2, axis=-1)
+    sorted_d2 = jnp.take_along_axis(flat_d2, order, axis=-1)
+    sorted_codes = jnp.take_along_axis(codes, order, axis=-1)
+    return sorted_d2, sorted_codes
+
+
+def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts):
+    """Traversal-sequence bin enumeration + occupancy compaction.
+
+    Returns (bins (B, max_bins), bin_counts (B, max_bins)).
+    """
+    B, p, L = sorted_codes.shape
+    base = min(L, 16)                  # reference clamps to 16 (ProTree.cu:135)
+    n_enum = min(cfg.bin_enum_factor * cfg.max_bins, base ** p)
+    seq = jnp.asarray(distseq.static_sequence(base, p)[:n_enum])  # (E, p)
+
+    # codes_of_bin[b, e] from per-part gathers along the sorted lists:
+    # part_codes (B, p, E) via advanced indexing of (B, p, L) with rank (p, E).
+    part_codes = sorted_codes[
+        :, jnp.arange(p, dtype=jnp.int32)[:, None], seq.T]
+    bin_ids = binning.hashed_bin_ids(
+        jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)
+    bin_counts = counts[bin_ids]                     # gather (B, E)
+    return binning.compact_nonempty_bins(bin_ids, bin_counts, cfg.max_bins)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
+              queries: jax.Array, k: int, exact_rerank: bool = False
+              ) -> QueryResult:
+    """Batched approximate k-NN (queryKNN / queryBIGKNNRerank equivalent).
+
+    queries: (B, dim).  Returns ids sorted by reconstructed (or exact)
+    distance.  `exact_rerank=True` requires db.vectors (perfect-rerank path).
+    """
+    queries = queries.astype(jnp.float32)
+    sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+    bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
+                                       db.counts)
+    prefix_of_bins = db.prefix[bins]
+    positions, valid = binning.gather_candidates(
+        prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
+
+    # Clamp invalid positions to 0 to keep gathers in range.
+    safe_pos = jnp.where(valid, positions, 0)
+    cand_ids = db.ids[safe_pos]                       # (B, K)
+
+    if exact_rerank:
+        assert db.vectors is not None, "exact rerank needs keep_vectors=True"
+        cand_vecs = db.vectors[cand_ids]              # (B, K, dim), by orig id
+        diff = cand_vecs - queries[:, None, :]
+        dists = jnp.sum(diff * diff, axis=-1)
+    else:
+        cand_codes = db.codes[safe_pos]               # (B, K, lp)
+        q_line = line_tables(cfg, tree, queries)      # (B, lp, c1)
+        dists = reconstruct_dists(cand_codes, q_line, tree.pair_dists)
+
+    dists = jnp.where(valid, dists, jnp.inf)
+    k_eff = min(k, cfg.max_candidates)
+    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+    top_dists = -neg_top
+    if k_eff < k:    # requested more than the candidate budget: pad
+        pad = k - k_eff
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
+        top_dists = jnp.pad(top_dists, ((0, 0), (0, pad)),
+                            constant_values=jnp.inf)
+    return QueryResult(indices=top_ids, dists=top_dists,
+                       n_candidates=jnp.sum(valid, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def query_knn_refine(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
+                     queries: jax.Array, k: int, refine_factor: int = 8,
+                     k_line: Optional[int] = None) -> QueryResult:
+    """Two-stage query: line re-rank to k*refine_factor, then exact re-rank.
+
+    The analog of queryBIGKNNRerank2 followed by the perfect pass
+    (PerturbationProTree.cu:8596-8795): cheap codes prune, exact distances
+    decide.  Requires db.vectors.
+    """
+    assert db.vectors is not None
+    k1 = k_line or (k * refine_factor)
+    stage1 = query_knn(cfg, tree, db, queries, k1, False)
+    # Exact distances only for the surviving k1 candidates (db.vectors is
+    # indexed by original id).
+    safe_ids = jnp.maximum(stage1.indices, 0)
+    cand_vecs = db.vectors[safe_ids]
+    diff = cand_vecs - queries[:, None, :].astype(jnp.float32)
+    exact = jnp.sum(diff * diff, axis=-1)
+    exact = jnp.where(stage1.indices >= 0, exact, jnp.inf)
+    neg_top, top_idx = jax.lax.top_k(-exact, k)
+    ids = jnp.take_along_axis(stage1.indices, top_idx, axis=-1)
+    return QueryResult(indices=ids, dists=-neg_top,
+                       n_candidates=stage1.n_candidates)

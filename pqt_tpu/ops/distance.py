@@ -1,0 +1,142 @@
+"""Batched L2 distance computation on the MXU.
+
+The reference computes distances with one CUDA block per vector and a
+segmented shared-memory tree reduction (reference: pqt/ProQuantization.cu:101-137,
+pqt/VectorQuantization.cu:26-102).  On TPU the same work is a batched matmul:
+
+    ||x - c||^2 = ||x||^2 + ||c||^2 - 2 <x, c>
+
+which XLA tiles onto the 128x128 systolic array.  All functions here are
+shape-polymorphic in the batch dimension and traceable under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(x: jax.Array, c: jax.Array,
+                    compute_dtype=jnp.float32) -> jax.Array:
+    """All-pairs squared L2 distances.
+
+    Args:
+      x: (n, d) vectors.
+      c: (k, d) centroids.
+    Returns:
+      (n, k) squared distances, float32.
+    """
+    x_c = x.astype(compute_dtype)
+    c_c = c.astype(compute_dtype)
+    # -2 x @ c^T on the MXU; norms on the VPU; XLA fuses the elementwise adds.
+    dot = jax.lax.dot_general(
+        x_c, c_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xn = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    cn = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)
+    d = xn + cn[None, :] - 2.0 * dot
+    return jnp.maximum(d, 0.0)
+
+
+def part_sqdist_tables(x: jax.Array, codebook: jax.Array,
+                       compute_dtype=jnp.float32) -> jax.Array:
+    """Per-part squared distances from vectors to a per-part codebook.
+
+    Equivalent of the reference's segmented distance kernel
+    (ProQuantization.cu:101-165) producing all p part-distances at once.
+
+    Args:
+      x: (n, d) vectors; d = p * vl.
+      codebook: (p, k, vl) per-part centroids.
+    Returns:
+      (n, p, k) squared distances.
+    """
+    n, d = x.shape
+    p, k, vl = codebook.shape
+    assert d == p * vl, (d, p, vl)
+    xp = x.reshape(n, p, vl).astype(compute_dtype)
+    cb = codebook.astype(compute_dtype)
+    # (n, p, vl) x (p, k, vl) -> (p, n, k) batched matmul on the MXU.
+    dot = jnp.einsum("npv,pkv->npk", xp, cb,
+                     preferred_element_type=jnp.float32)
+    xn = jnp.sum(x.reshape(n, p, vl).astype(jnp.float32) ** 2, axis=-1)
+    cn = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)
+    d2 = xn[:, :, None] + cn[None, :, :] - 2.0 * dot
+    return jnp.maximum(d2, 0.0)
+
+
+def subpart_sqdist_tables(x: jax.Array, centroids: jax.Array,
+                          line_parts: int,
+                          compute_dtype=jnp.float32) -> jax.Array:
+    """Squared distances between line-part segments of x and of full centroids.
+
+    The reference's `lineAssignmentKernel` / CPU `_L1distancesVirtual`
+    (PerturbationProTree.cu:7739-7820, cpu_version/quantizer/treequantizer.hpp:640-661):
+    for every query, line-part lp, and L1 centroid c (full-dim centroid, all
+    parts concatenated), the distance between segment lp of the query and
+    segment lp of the centroid.
+
+    Args:
+      x: (n, d) vectors.
+      centroids: (c1, d) full-dimensional L1 centroids (concatenated parts).
+      line_parts: number of re-rank segments (dim % line_parts == 0).
+    Returns:
+      (n, line_parts, c1) squared distances.
+    """
+    n, d = x.shape
+    c1 = centroids.shape[0]
+    lvl = d // line_parts
+    xp = x.reshape(n, line_parts, lvl).astype(compute_dtype)
+    cp = centroids.reshape(c1, line_parts, lvl).astype(compute_dtype)
+    dot = jnp.einsum("nlv,clv->nlc", xp, cp,
+                     preferred_element_type=jnp.float32)
+    xn = jnp.sum(x.reshape(n, line_parts, lvl).astype(jnp.float32) ** 2, axis=-1)
+    cn = jnp.sum(centroids.reshape(c1, line_parts, lvl).astype(jnp.float32) ** 2,
+                 axis=-1)
+    d2 = xn[:, :, None] + cn.T[None, :, :] - 2.0 * dot
+    return jnp.maximum(d2, 0.0)
+
+
+def centroid_pair_sqdist(centroids: jax.Array, line_parts: int) -> jax.Array:
+    """Per-line-part squared distances between every pair of L1 centroids.
+
+    Reference `computeCBL1L1Dist` (PerturbationProTree.cu:1902-1917) / CPU
+    `computeLookupTable` (treequantizer.hpp:183-203).
+
+    Args:
+      centroids: (c1, d) full-dimensional L1 centroids.
+    Returns:
+      (line_parts, c1, c1) squared distances between centroid segments.
+    """
+    c1, d = centroids.shape
+    lvl = d // line_parts
+    cp = centroids.reshape(c1, line_parts, lvl).astype(jnp.float32)
+    diff = cp[:, None, :, :] - cp[None, :, :, :]        # (c1, c1, lp, lvl)
+    d2 = jnp.sum(diff * diff, axis=-1)                  # (c1, c1, lp)
+    return jnp.transpose(d2, (2, 0, 1))
+
+
+def brute_force_knn(queries: jax.Array, db: jax.Array, k: int,
+                    batch: int = 1024) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN by full distance computation; the correctness oracle.
+
+    Equivalent of the reference's in-library brute-force cross-checks
+    (ProTree.cu:2873-2920, PerturbationProTree.cu:8115-8163).
+
+    Returns (dists (q, k), indices (q, k)), ascending by distance.
+    """
+    n_q = queries.shape[0]
+
+    def one_batch(q):
+        d = pairwise_sqdist(q, db)
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return -neg_d, idx
+
+    if n_q <= batch:
+        return one_batch(queries)
+    outs_d, outs_i = [], []
+    for s in range(0, n_q, batch):
+        d, i = one_batch(queries[s:s + batch])
+        outs_d.append(d)
+        outs_i.append(i)
+    return jnp.concatenate(outs_d, 0), jnp.concatenate(outs_i, 0)

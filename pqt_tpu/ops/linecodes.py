@@ -1,0 +1,108 @@
+"""Line-quantization codes: build, pack, and distance reconstruction.
+
+Each database vector stores, per line-part, a 4-byte code (p1: uint8,
+p2: uint8, lambda: uint16): the projection of that vector segment onto the
+line between two L1 centroid segments (reference: pqt/PerturbationProTree.hh:21-26,
+lineClusterKernelFast PerturbationProTree.cu:7527-7661, CPU twin
+cpu_version/quantizer/treequantizer.hpp:356-412 + helper.hpp:39-90).
+
+At query time the approximate query<->vector distance is reconstructed per
+line-part from (a) the query's distances to all c1 centroid segments and
+(b) the precomputed centroid-pair distance table, via the triangle algebra in
+ops/triangle.py — no database vector is ever touched.
+
+Packing: uint32 = p1 | p2 << 8 | lambda_u16 << 16 (bit layout identical to
+the reference's little-endian code_t union, helper.hpp:39-52).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pqt_tpu.ops import triangle
+
+
+def pack_codes(a: jax.Array, b: jax.Array, lam_u16: jax.Array) -> jax.Array:
+    """(p1, p2, lambda_u16) -> packed uint32."""
+    return (a.astype(jnp.uint32)
+            | (b.astype(jnp.uint32) << 8)
+            | (lam_u16.astype(jnp.uint32) << 16))
+
+
+def unpack_codes(packed: jax.Array):
+    """packed uint32 -> (p1 int32, p2 int32, lambda float32)."""
+    a = (packed & jnp.uint32(0xFF)).astype(jnp.int32)
+    b = ((packed >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+    lam_u16 = ((packed >> 16) & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    return a, b, triangle.u16_to_lambda(lam_u16)
+
+
+def build_line_codes(part_dists: jax.Array,
+                     pair_dists: jax.Array) -> jax.Array:
+    """Choose the best (A, B, lambda) per (vector, line-part).
+
+    Args:
+      part_dists: (n, lp, c1) squared distances between vector segments and
+        L1 centroid segments (subpart_sqdist_tables of the DB vectors).
+      pair_dists: (lp, c1, c1) squared distances between centroid segments
+        (centroid_pair_sqdist).
+    Returns:
+      (n, lp) uint32 packed codes.
+
+    Selection criterion: minimal projection residual
+    d2 = b2 - lambda^2 * c2 over all ordered pairs A < B
+    (treequantizer.hpp:367-388; the GPU kernel scans the same c1*c1 space).
+    """
+    n, lp, c1 = part_dists.shape
+    # a2[n,lp,A,B] = dist to B; b2 = dist to A; c2 = pair dist.
+    a2 = part_dists[:, :, None, :]            # (n, lp, 1, c1) -> B axis last
+    b2 = part_dists[:, :, :, None]            # (n, lp, c1, 1) -> A axis
+    c2 = pair_dists[None, :, :, :]            # (1, lp, c1, c1)
+    lam, resid = triangle.project_with_residual(a2, b2, c2)
+    # Only A < B is meaningful (A == B has c2 = 0; A > B duplicates).
+    iu = jnp.triu_indices(c1, k=1)
+    tri_mask = jnp.zeros((c1, c1), jnp.bool_).at[iu].set(True)
+    resid = jnp.where(tri_mask[None, None, :, :], resid, jnp.inf)
+    flat = resid.reshape(n, lp, c1 * c1)
+    best = jnp.argmin(flat, axis=-1).astype(jnp.int32)     # (n, lp)
+    best_a = best // c1
+    best_b = best % c1
+    lam_best = jnp.take_along_axis(
+        lam.reshape(n, lp, c1 * c1), best[..., None], axis=-1)[..., 0]
+    return pack_codes(best_a, best_b, triangle.lambda_to_u16(lam_best))
+
+
+def reconstruct_dists(codes: jax.Array, query_part_dists: jax.Array,
+                      pair_dists: jax.Array) -> jax.Array:
+    """Approximate squared query<->vector distances from line codes.
+
+    Args:
+      codes: (B, K, lp) packed uint32 codes of the candidates of each query.
+      query_part_dists: (B, lp, c1) query-to-centroid segment distances.
+      pair_dists: (lp, c1, c1) centroid-pair segment distances.
+    Returns:
+      (B, K) approximate squared distances (sum over line parts of the
+      triangle reconstruction; rerankKernelFast PerturbationProTree.cu:5189-5351,
+      CPU `distance`, treequantizer.hpp:423-439).
+    """
+    Bq, K, lp = codes.shape
+    c1 = query_part_dists.shape[-1]
+    a_idx, b_idx, lam = unpack_codes(codes)    # each (B, K, lp)
+
+    # side_b = d(query_seg, centroid A); side_a = d(query_seg, centroid B).
+    qd = jnp.transpose(query_part_dists, (0, 2, 1))        # (B, c1, lp)
+
+    def gather_q(qd_b, idx_b):
+        # qd_b: (c1, lp); idx_b: (K, lp) -> out (K, lp)
+        return jnp.take_along_axis(qd_b, idx_b, axis=0)
+
+    side_b = jax.vmap(gather_q)(qd, a_idx)
+    side_a = jax.vmap(gather_q)(qd, b_idx)
+
+    lp_idx = jnp.arange(lp, dtype=jnp.int32)[None, None, :]
+    flat_pair = pair_dists.reshape(lp * c1 * c1)
+    side_c = flat_pair[(lp_idx * c1 + a_idx) * c1 + b_idx]
+
+    d = triangle.line_dist(side_a, side_b, side_c, lam)
+    return jnp.sum(d, axis=-1)

@@ -1,0 +1,117 @@
+"""End-to-end slice: train -> encode -> build -> query -> recall.
+
+The equivalent of the reference's recall integration tests
+(test/testPPQT.cpp:334-351) on a synthetic clustered dataset.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import (ChunkedDBBuilder, build_database, encode_bins)
+from pqt_tpu.models.query import query_knn, query_knn_refine
+from pqt_tpu.models.tree import train_tree
+from pqt_tpu.ops.distance import brute_force_knn
+from pqt_tpu.utils import metrics
+
+import oracle
+
+SMALL_CFG = PQTConfig(
+    dim=32, p=4, c1=8, c2=4, line_parts=8, hash_size=1 << 16,
+    k1_build=4, k1_query=4, max_bins=256, bin_enum_factor=4,
+    max_candidates=1024, max_vec_per_bin=256, kmeans_iters=15)
+
+
+@pytest.fixture(scope="module")
+def trained(clustered_data):
+    db_vecs, queries = clustered_data
+    tree = train_tree(SMALL_CFG, db_vecs)
+    db = build_database(SMALL_CFG, tree, db_vecs, keep_vectors=True,
+                        encode_chunk=2048)
+    return tree, db, db_vecs, queries
+
+
+def test_db_structure(trained):
+    tree, db, db_vecs, _ = trained
+    n = db_vecs.shape[0]
+    assert db.n_vectors == n
+    counts = np.asarray(db.counts)
+    assert counts.sum() == n
+    ids = np.asarray(db.ids)
+    assert sorted(ids.tolist()) == list(range(n))
+    hist = metrics.occupancy_histogram(counts)
+    assert hist["bins_nonempty"] > 16     # data spreads over many bins
+
+
+def test_encode_deterministic(trained):
+    tree, db, db_vecs, _ = trained
+    b1 = np.asarray(encode_bins(SMALL_CFG, tree, jnp.asarray(db_vecs[:256])))
+    b2 = np.asarray(encode_bins(SMALL_CFG, tree, jnp.asarray(db_vecs[:256])))
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_query_recall_line_rerank(trained):
+    tree, db, db_vecs, queries = trained
+    _, gt = brute_force_knn(jnp.asarray(queries), jnp.asarray(db_vecs), 10)
+    res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 10)
+    r = metrics.recall_at(np.asarray(res.indices), np.asarray(gt))
+    # The line-code approximation prunes well but ranks coarsely (it is a
+    # pruning stage in the reference too; exact re-rank gives the precision).
+    # Thresholds calibrated on this fixture with margin.
+    assert r["R@10"] >= 0.45, r
+    assert r["R@1"] >= 0.08, r
+
+
+def test_query_recall_exact_rerank(trained):
+    tree, db, db_vecs, queries = trained
+    _, gt = brute_force_knn(jnp.asarray(queries), jnp.asarray(db_vecs), 10)
+    res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 10,
+                    True)
+    r = metrics.recall_at(np.asarray(res.indices), np.asarray(gt))
+    # exact re-rank of the candidate set: recall == candidate recall
+    assert r["R@1"] >= 0.85, r
+
+
+def test_query_refine_beats_line_only(trained):
+    tree, db, db_vecs, queries = trained
+    _, gt = brute_force_knn(jnp.asarray(queries), jnp.asarray(db_vecs), 1)
+    line = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 1)
+    refined = query_knn_refine(SMALL_CFG, tree, db, jnp.asarray(queries), 1,
+                               refine_factor=32)
+    r_line = metrics.recall_at(np.asarray(line.indices), np.asarray(gt))
+    r_ref = metrics.recall_at(np.asarray(refined.indices), np.asarray(gt))
+    assert r_ref["R@1"] >= r_line["R@1"]
+
+
+def test_exact_rerank_distances_are_true_distances(trained):
+    tree, db, db_vecs, queries = trained
+    res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 5,
+                    True)
+    ids = np.asarray(res.indices)
+    dists = np.asarray(res.dists)
+    for i in range(5):
+        for j in range(5):
+            if ids[i, j] >= 0:
+                true = ((queries[i] - db_vecs[ids[i, j]]) ** 2).sum()
+                np.testing.assert_allclose(dists[i, j], true, rtol=1e-3,
+                                           atol=1e-3)
+
+
+def test_chunked_build_matches_single_shot(trained):
+    tree, db, db_vecs, _ = trained
+    builder = ChunkedDBBuilder(SMALL_CFG, tree, encode_chunk=1024)
+    for s in range(0, db_vecs.shape[0], 1000):   # uneven chunks on purpose
+        builder.add_chunk(db_vecs[s:s + 1000])
+    db2 = builder.finalize()
+    np.testing.assert_array_equal(np.asarray(db.counts),
+                                  np.asarray(db2.counts))
+    np.testing.assert_array_equal(np.asarray(db.ids), np.asarray(db2.ids))
+    np.testing.assert_array_equal(np.asarray(db.codes),
+                                  np.asarray(db2.codes))
+
+
+def test_candidate_budget_respected(trained):
+    tree, db, _, queries = trained
+    res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 10)
+    assert int(np.asarray(res.n_candidates).max()) <= SMALL_CFG.max_candidates
