@@ -47,12 +47,23 @@ class PQTConfig:
                                # the first max_bins non-empty (reference maxTrials)
     max_candidates: int = 4096  # candidate vectors gathered per query (k2)
     max_vec_per_bin: int = 1024  # per-bin candidate cap during gather
+    dedup_candidates: bool = False  # drop duplicate candidate ids before
+                                    # top-k (hash collisions can probe the
+                                    # same bin twice).  The reference's
+                                    # getKVectorIDsKernel dedups, its Fast
+                                    # production path does not
+                                    # (PerturbationProTree.cu:3780,4307).
 
     # --- training -----------------------------------------------------------
+    kmeans_init: str = "kmeans++"  # "kmeans++" (better coverage) or "lbg"
+                                   # (the reference's split ladder)
     kmeans_iters: int = 30       # max Lloyd iterations per LBG level
     kmeans_churn_tol: float = 2e-3   # stop when < this fraction changes assignment
     kmeans_move_tol: float = 5e-3    # ... and centroid movement below this
-    split_epsilon: float = 1e-3      # LBG split perturbation (vectorquantizer.hpp)
+    split_epsilon: float = 0.02      # LBG split perturbation, RELATIVE to the
+                                     # population's per-dim RMS spread (the
+                                     # reference's absolute 1e-3 collapses on
+                                     # un-normalized data; vectorquantizer.hpp)
     train_subsample: int = 0         # 0 = use all provided training vectors
     seed: int = 1234
 

@@ -1,0 +1,101 @@
+"""Artifact (checkpoint) save/load for trees and databases.
+
+The reference persists custom binary artifacts — tree `.ppqt`
+(PerturbationProTree.cu:60-220), codebook `.pq` (ProQuantization.cu:36-95),
+DB triplet `.prefix/.count/.dbIdx` + `.lines` (tool_createdb.cpp:116-138) —
+and every tool does "load if exists else compute+save"
+(testPPQT.cpp:283-290).  Loads validate the stored parameters against the
+template/CLI config (treequantizer.hpp:802-806).
+
+Here both artifacts are single .npz files carrying the config JSON; loads
+re-validate it the same way.  `load_or_build` reproduces the compute-or-load
+idiom.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import PQTDatabase
+from pqt_tpu.models.tree import PQTree
+
+_FORMAT_VERSION = 1
+
+
+class ArtifactMismatch(RuntimeError):
+    """Stored artifact parameters disagree with the requested config."""
+
+
+def _check_config(stored_json: str, cfg: PQTConfig, fields):
+    stored = json.loads(stored_json)
+    mine = json.loads(cfg.to_json())
+    for f in fields:
+        if stored.get(f) != mine.get(f):
+            raise ArtifactMismatch(
+                f"artifact {f} mismatch: stored={stored.get(f)!r} "
+                f"requested={mine.get(f)!r}")
+
+
+# Fields that determine tree geometry (D/C1/C2/P/W-equivalents).
+_TREE_FIELDS = ("dim", "p", "c1", "c2", "line_parts")
+_DB_FIELDS = _TREE_FIELDS + ("hash_size",)
+
+
+def save_tree(path: str, cfg: PQTConfig, tree: PQTree) -> None:
+    np.savez_compressed(
+        path, __version__=_FORMAT_VERSION, config=cfg.to_json(),
+        cb1=np.asarray(tree.cb1), cb2=np.asarray(tree.cb2))
+
+
+def load_tree(path: str, cfg: PQTConfig) -> PQTree:
+    with np.load(path, allow_pickle=False) as z:
+        _check_config(str(z["config"]), cfg, _TREE_FIELDS)
+        cb1 = jnp.asarray(z["cb1"])
+        cb2 = jnp.asarray(z["cb2"])
+    if cb1.shape != (cfg.p, cfg.c1, cfg.vl):
+        raise ArtifactMismatch(f"cb1 shape {cb1.shape} != expected")
+    if cb2.shape != (cfg.p, cfg.c1, cfg.c2, cfg.vl):
+        raise ArtifactMismatch(f"cb2 shape {cb2.shape} != expected")
+    return PQTree.from_codebooks(cfg, cb1, cb2)
+
+
+def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
+    arrays = dict(
+        __version__=_FORMAT_VERSION, config=cfg.to_json(),
+        prefix=np.asarray(db.prefix), counts=np.asarray(db.counts),
+        ids=np.asarray(db.ids), codes=np.asarray(db.codes),
+        t3=np.asarray(db.t3))
+    if db.vectors is not None:
+        arrays["vectors"] = np.asarray(db.vectors)
+    np.savez_compressed(path, **arrays)
+
+
+def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
+    with np.load(path, allow_pickle=False) as z:
+        _check_config(str(z["config"]), cfg, _DB_FIELDS)
+        vectors = jnp.asarray(z["vectors"]) if "vectors" in z else None
+        db = PQTDatabase(
+            prefix=jnp.asarray(z["prefix"]), counts=jnp.asarray(z["counts"]),
+            ids=jnp.asarray(z["ids"]), codes=jnp.asarray(z["codes"]),
+            t3=jnp.asarray(z["t3"]), vectors=vectors)
+    if db.prefix.shape[0] != cfg.hash_size:
+        raise ArtifactMismatch("hash table size mismatch")
+    if db.codes.shape[1] != cfg.line_parts:
+        raise ArtifactMismatch("line_parts mismatch in codes")
+    return db
+
+
+def load_or_build(path: str, loader: Callable, builder: Callable,
+                  saver: Callable):
+    """The reference's compute-or-load idiom (testPPQT.cpp:283-290)."""
+    if os.path.exists(path):
+        return loader(path)
+    obj = builder()
+    saver(path, obj)
+    return obj

@@ -36,6 +36,8 @@ class PQTDatabase(NamedTuple):
     counts: jax.Array       # (hash_size,) int32
     ids: jax.Array          # (n,) int32 original vector id at CSR position
     codes: jax.Array        # (n, line_parts) uint32, CSR order
+    t3: jax.Array           # (n,) float32 query-independent line-code term,
+                            # CSR order (see ops/linecodes.py)
     vectors: Optional[jax.Array]  # (n, dim) raw vectors in ORIGINAL id order
                                   # (only for exact re-rank), or None
 
@@ -74,8 +76,9 @@ def encode_bins(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def encode_line_codes(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
-    """(n, line_parts) packed uint32 line codes (lineDist equivalent)."""
+def encode_line_codes(cfg: PQTConfig, tree: PQTree, x: jax.Array):
+    """((n, line_parts) packed uint32 codes, (n,) f32 t3 term)
+    (lineDist equivalent)."""
     ld = line_tables(cfg, tree, x)                       # (n, lp, c1)
     return build_line_codes(ld, tree.pair_dists)
 
@@ -92,13 +95,15 @@ def build_database(cfg: PQTConfig, tree: PQTree, data,
     n = data.shape[0]
     bins = np.empty((n,), np.int32)
     codes = np.empty((n, cfg.line_parts), np.uint32)
+    t3 = np.empty((n,), np.float32)
     for s in range(0, n, encode_chunk):
         e = min(n, s + encode_chunk)
         chunk = _pad_chunk(data[s:e], encode_chunk)
         bins[s:e] = np.asarray(encode_bins(cfg, tree, chunk))[: e - s]
-        codes[s:e] = np.asarray(
-            encode_line_codes(cfg, tree, chunk))[: e - s]
-    return assemble_database(cfg, bins, codes,
+        c_chunk, t_chunk = encode_line_codes(cfg, tree, chunk)
+        codes[s:e] = np.asarray(c_chunk)[: e - s]
+        t3[s:e] = np.asarray(t_chunk)[: e - s]
+    return assemble_database(cfg, bins, codes, t3,
                              vectors=data if keep_vectors else None)
 
 
@@ -112,7 +117,7 @@ def _pad_chunk(x: np.ndarray, size: int) -> jnp.ndarray:
 
 
 def assemble_database(cfg: PQTConfig, bin_ids: np.ndarray,
-                      codes: np.ndarray,
+                      codes: np.ndarray, t3: np.ndarray,
                       vectors: Optional[np.ndarray] = None,
                       id_offset: int = 0) -> PQTDatabase:
     """Host-side CSR assembly from encoded chunks.
@@ -130,6 +135,7 @@ def assemble_database(cfg: PQTConfig, bin_ids: np.ndarray,
         counts=jnp.asarray(counts),
         ids=jnp.asarray(order + id_offset),
         codes=jnp.asarray(codes[order]),
+        t3=jnp.asarray(t3[order]),
         vectors=jnp.asarray(vectors) if vectors is not None else None,
     )
 
@@ -149,6 +155,7 @@ class ChunkedDBBuilder:
         self.encode_chunk = encode_chunk
         self._bins = []
         self._codes = []
+        self._t3 = []
         self._vecs = []
 
     def add_chunk(self, data: np.ndarray):
@@ -156,20 +163,24 @@ class ChunkedDBBuilder:
         n = data.shape[0]
         bins = np.empty((n,), np.int32)
         codes = np.empty((n, self.cfg.line_parts), np.uint32)
+        t3 = np.empty((n,), np.float32)
         for s in range(0, n, self.encode_chunk):
             e = min(n, s + self.encode_chunk)
             chunk = _pad_chunk(data[s:e], self.encode_chunk)
             bins[s:e] = np.asarray(
                 encode_bins(self.cfg, self.tree, chunk))[: e - s]
-            codes[s:e] = np.asarray(
-                encode_line_codes(self.cfg, self.tree, chunk))[: e - s]
+            c_chunk, t_chunk = encode_line_codes(self.cfg, self.tree, chunk)
+            codes[s:e] = np.asarray(c_chunk)[: e - s]
+            t3[s:e] = np.asarray(t_chunk)[: e - s]
         self._bins.append(bins)
         self._codes.append(codes)
+        self._t3.append(t3)
         if self.keep_vectors:
             self._vecs.append(data)
 
     def finalize(self) -> PQTDatabase:
         bins = np.concatenate(self._bins)
         codes = np.concatenate(self._codes)
+        t3 = np.concatenate(self._t3)
         vecs = np.concatenate(self._vecs) if self._vecs else None
-        return assemble_database(self.cfg, bins, codes, vectors=vecs)
+        return assemble_database(self.cfg, bins, codes, t3, vectors=vecs)

@@ -37,6 +37,28 @@ from pqt_tpu.ops import binning, distseq
 from pqt_tpu.ops.linecodes import reconstruct_dists
 
 
+def _mask_duplicate_candidates(cand_ids, valid, dists):
+    """Set the distance of repeated candidate ids to +inf.
+
+    Duplicate ids refer to the same vector (identical distance), so any one
+    survivor is equivalent; invalid slots get unique sentinels so they never
+    alias a real candidate.
+    """
+    B, K = cand_ids.shape
+    sentinels = -(jnp.arange(K, dtype=jnp.int32) + 1)[None, :]
+    uid = jnp.where(valid, cand_ids, sentinels)
+    order = jnp.argsort(uid, axis=-1)
+    sorted_uid = jnp.take_along_axis(uid, order, axis=-1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.bool_),
+         sorted_uid[:, 1:] == sorted_uid[:, :-1]], axis=-1)
+    row = jnp.arange(B, dtype=jnp.int32)[:, None]
+    flat = (row * K + order).ravel()
+    dup = (jnp.zeros((B * K,), jnp.bool_)
+           .at[flat].set(dup_sorted.ravel()).reshape(B, K))
+    return jnp.where(dup, jnp.inf, dists)
+
+
 class QueryResult(NamedTuple):
     indices: jax.Array      # (B, k) int32 database vector ids
     dists: jax.Array        # (B, k) float32 (approx or exact, by pipeline)
@@ -66,10 +88,16 @@ def _sorted_part_lists(cfg: PQTConfig, tree: PQTree, queries: jax.Array):
     return sorted_d2, sorted_codes
 
 
-def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts):
+def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
+                    bin_offset=None):
     """Traversal-sequence bin enumeration + occupancy compaction.
 
-    Returns (bins (B, max_bins), bin_counts (B, max_bins)).
+    `counts` may be a shard of the global occupancy table; `bin_offset`
+    (traced scalar) is the global slot id of its first element — bins that
+    fall outside the shard are treated as empty, which is exactly how a
+    hash-range-sharded database partitions the probe work.
+
+    Returns (bins (B, max_bins) LOCAL slot ids, bin_counts (B, max_bins)).
     """
     B, p, L = sorted_codes.shape
     base = min(L, 16)                  # reference clamps to 16 (ProTree.cu:135)
@@ -82,8 +110,45 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts):
         :, jnp.arange(p, dtype=jnp.int32)[:, None], seq.T]
     bin_ids = binning.hashed_bin_ids(
         jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)
-    bin_counts = counts[bin_ids]                     # gather (B, E)
-    return binning.compact_nonempty_bins(bin_ids, bin_counts, cfg.max_bins)
+    local_size = counts.shape[0]
+    if bin_offset is not None:
+        bin_ids = bin_ids - bin_offset
+    in_range = (bin_ids >= 0) & (bin_ids < local_size)
+    safe_ids = jnp.where(in_range, bin_ids, 0)
+    bin_counts = jnp.where(in_range, counts[safe_ids], 0)    # gather (B, E)
+    return binning.compact_nonempty_bins(safe_ids, bin_counts, cfg.max_bins)
+
+
+def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, ids, codes, t3,
+               queries, k: int, bin_offset=None):
+    """Shared single-shard query math over raw CSR arrays.
+
+    prefix/counts are (local) occupancy tables (prefix rebased to the local
+    payload arrays); ids/codes/t3 are the (local) CSR-ordered payloads.
+    Returns (cand_ids (B, k), dists (B, k), n_candidates (B,)) with line
+    re-ranking; -1 ids mark missing results.
+    """
+    queries = queries.astype(jnp.float32)
+    sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+    bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
+                                       bin_offset)
+    prefix_of_bins = prefix[bins]
+    positions, valid = binning.gather_candidates(
+        prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
+    safe_pos = jnp.where(valid, positions, 0)
+    cand_ids = ids[safe_pos]                          # (B, K)
+    cand_codes = codes[safe_pos]                      # (B, K, lp)
+    cand_t3 = t3[safe_pos]                            # (B, K)
+    q_line = line_tables(cfg, tree, queries)          # (B, lp, c1)
+    dists = reconstruct_dists(cand_codes, q_line, cand_t3)
+    dists = jnp.where(valid, dists, jnp.inf)
+    if cfg.dedup_candidates:
+        dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+    k_eff = min(k, cfg.max_candidates)
+    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+    return top_ids, -neg_top, jnp.sum(valid, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
@@ -96,40 +161,41 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     distance.  `exact_rerank=True` requires db.vectors (perfect-rerank path).
     """
     queries = queries.astype(jnp.float32)
-    sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
-    bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
-                                       db.counts)
-    prefix_of_bins = db.prefix[bins]
-    positions, valid = binning.gather_candidates(
-        prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
-
-    # Clamp invalid positions to 0 to keep gathers in range.
-    safe_pos = jnp.where(valid, positions, 0)
-    cand_ids = db.ids[safe_pos]                       # (B, K)
-
     if exact_rerank:
         assert db.vectors is not None, "exact rerank needs keep_vectors=True"
+        sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+        bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
+                                           db.counts)
+        prefix_of_bins = db.prefix[bins]
+        positions, valid = binning.gather_candidates(
+            prefix_of_bins, bin_counts, cfg.max_candidates,
+            cfg.max_vec_per_bin)
+        safe_pos = jnp.where(valid, positions, 0)
+        cand_ids = db.ids[safe_pos]                   # (B, K)
         cand_vecs = db.vectors[cand_ids]              # (B, K, dim), by orig id
         diff = cand_vecs - queries[:, None, :]
         dists = jnp.sum(diff * diff, axis=-1)
+        dists = jnp.where(valid, dists, jnp.inf)
+        if cfg.dedup_candidates:
+            dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+        k_eff = min(k, cfg.max_candidates)
+        neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+        top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+        top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+        top_dists = -neg_top
+        n_cand = jnp.sum(valid, axis=-1)
     else:
-        cand_codes = db.codes[safe_pos]               # (B, K, lp)
-        q_line = line_tables(cfg, tree, queries)      # (B, lp, c1)
-        dists = reconstruct_dists(cand_codes, q_line, tree.pair_dists)
-
-    dists = jnp.where(valid, dists, jnp.inf)
-    k_eff = min(k, cfg.max_candidates)
-    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
-    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
-    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
-    top_dists = -neg_top
+        top_ids, top_dists, n_cand = query_core(
+            cfg, tree, db.prefix, db.counts, db.ids, db.codes, db.t3,
+            queries, k)
+        k_eff = min(k, cfg.max_candidates)
     if k_eff < k:    # requested more than the candidate budget: pad
         pad = k - k_eff
         top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
         top_dists = jnp.pad(top_dists, ((0, 0), (0, pad)),
                             constant_values=jnp.inf)
     return QueryResult(indices=top_ids, dists=top_dists,
-                       n_candidates=jnp.sum(valid, axis=-1))
+                       n_candidates=n_cand)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))

@@ -57,7 +57,7 @@ def _train_level1(cfg: PQTConfig, data: jax.Array, key):
         return lbg_kmeans(
             part_data, None, cfg.c1, iters=cfg.kmeans_iters,
             churn_tol=cfg.kmeans_churn_tol, move_tol=cfg.kmeans_move_tol,
-            split_epsilon=cfg.split_epsilon, key=k)
+            split_epsilon=cfg.split_epsilon, key=k, init=cfg.kmeans_init)
 
     cb1, assign = jax.vmap(one)(parts, keys)    # (p, c1, vl), (p, n)
     return cb1, assign.transpose(1, 0)          # assign -> (n, p)
@@ -76,7 +76,7 @@ def _train_level2(cfg: PQTConfig, data: jax.Array, assign1: jax.Array, key):
         c, _ = lbg_kmeans(
             part_data, mask, cfg.c2, iters=cfg.kmeans_iters,
             churn_tol=cfg.kmeans_churn_tol, move_tol=cfg.kmeans_move_tol,
-            split_epsilon=cfg.split_epsilon, key=k)
+            split_epsilon=cfg.split_epsilon, key=k, init=cfg.kmeans_init)
         return c
 
     # vmap over cells (data shared), then over parts.

@@ -117,17 +117,25 @@ def compact_nonempty_bins(bin_ids: jax.Array, counts: jax.Array,
     bin_ids, counts: (B, E) with E >= max_bins.
     Returns (bins (B, max_bins), counts (B, max_bins)); slots past the last
     non-empty bin have count 0.
+
+    Implementation: order-preserving stream compaction via cumsum + scatter
+    (no sort) — each non-empty entry knows its output slot from the running
+    count of non-empty entries before it.
     """
     B, E = bin_ids.shape
-    pos = jnp.arange(E, dtype=jnp.int32)[None, :]
-    empty = (counts <= 0)
-    key = jnp.where(empty, E + pos, pos)     # empties pushed to the back
-    sel = jnp.argsort(key, axis=-1)[:, :max_bins]
-    g_bins = jnp.take_along_axis(bin_ids, sel, axis=-1)
-    g_counts = jnp.where(
-        jnp.take_along_axis(empty, sel, axis=-1), 0,
-        jnp.take_along_axis(counts, sel, axis=-1))
-    return g_bins, g_counts
+    nonempty = counts > 0
+    target = jnp.cumsum(nonempty.astype(jnp.int32), axis=-1) - 1   # (B, E)
+    valid = nonempty & (target < max_bins)
+    row = jnp.arange(B, dtype=jnp.int32)[:, None]
+    dump = B * max_bins                       # overflow slot, sliced off below
+    flat_t = jnp.where(valid, row * max_bins + target, dump).ravel()
+    out_bins = (jnp.zeros((B * max_bins + 1,), bin_ids.dtype)
+                .at[flat_t].set(bin_ids.ravel(), mode="drop")
+                [:B * max_bins].reshape(B, max_bins))
+    out_counts = (jnp.zeros((B * max_bins + 1,), counts.dtype)
+                  .at[flat_t].set(counts.ravel(), mode="drop")
+                  [:B * max_bins].reshape(B, max_bins))
+    return out_bins, out_counts
 
 
 def gather_candidates(prefix_of_bins: jax.Array, counts_of_bins: jax.Array,
@@ -148,20 +156,31 @@ def gather_candidates(prefix_of_bins: jax.Array, counts_of_bins: jax.Array,
     reference's capped copy loop (getKVectorIDsKernelFast,
     PerturbationProTree.cu:4307-4419).
     """
+    B, nb = counts_of_bins.shape
+    K = max_candidates
     capped = jnp.minimum(counts_of_bins, max_vec_per_bin)
     ends = jnp.cumsum(capped, axis=-1)                       # (B, nb)
     starts = ends - capped
     total = ends[:, -1]
 
-    slots = jnp.arange(max_candidates, dtype=jnp.int32)       # (K,)
+    # Slot -> owning-bin mapping without searchsorted: scatter each non-empty
+    # bin's index at its start slot (max-combine), then a running max along
+    # slots assigns every slot the latest bin whose interval covers it.
+    row = jnp.arange(B, dtype=jnp.int32)[:, None]
+    occupied = capped > 0
+    in_budget = occupied & (starts < K)
+    dump = B * K
+    flat_t = jnp.where(in_budget, row * K + starts, dump).ravel()
+    bin_idx = jnp.broadcast_to(
+        jnp.arange(nb, dtype=jnp.int32)[None, :], (B, nb)).ravel()
+    seed = (jnp.zeros((B * K + 1,), jnp.int32)
+            .at[flat_t].max(bin_idx, mode="drop")
+            [:B * K].reshape(B, K))
+    b_of_slot = jax.lax.associative_scan(jnp.maximum, seed, axis=-1)
 
-    def per_query(ends_row, starts_row, prefix_row):
-        # bin index owning each slot: first bin with end > slot.
-        b_idx = jnp.searchsorted(ends_row, slots, side="right")
-        b_idx = jnp.minimum(b_idx, ends_row.shape[0] - 1).astype(jnp.int32)
-        within = slots - starts_row[b_idx]
-        return prefix_row[b_idx] + within
-
-    positions = jax.vmap(per_query)(ends, starts, prefix_of_bins)
-    valid = slots[None, :] < total[:, None]
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    within = slots - jnp.take_along_axis(starts, b_of_slot, axis=-1)
+    positions = jnp.take_along_axis(prefix_of_bins, b_of_slot,
+                                    axis=-1) + within
+    valid = slots < total[:, None]
     return positions, valid

@@ -15,9 +15,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls default to bf16 passes; the ||x||^2+||c||^2-2x.c identity then
+# loses ~1e-2 relative accuracy, which is catastrophic for k-means splits and
+# for exact ground truth at SIFT scale (distances ~1e5).  All distance-table
+# matmuls therefore run at full f32 precision; callers can relax it.
+_DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def pairwise_sqdist(x: jax.Array, c: jax.Array,
-                    compute_dtype=jnp.float32) -> jax.Array:
+                    compute_dtype=jnp.float32,
+                    precision=_DEFAULT_PRECISION) -> jax.Array:
     """All-pairs squared L2 distances.
 
     Args:
@@ -31,7 +38,7 @@ def pairwise_sqdist(x: jax.Array, c: jax.Array,
     # -2 x @ c^T on the MXU; norms on the VPU; XLA fuses the elementwise adds.
     dot = jax.lax.dot_general(
         x_c, c_c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=precision)
     xn = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     cn = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)
     d = xn + cn[None, :] - 2.0 * dot
@@ -39,7 +46,8 @@ def pairwise_sqdist(x: jax.Array, c: jax.Array,
 
 
 def part_sqdist_tables(x: jax.Array, codebook: jax.Array,
-                       compute_dtype=jnp.float32) -> jax.Array:
+                       compute_dtype=jnp.float32,
+                       precision=_DEFAULT_PRECISION) -> jax.Array:
     """Per-part squared distances from vectors to a per-part codebook.
 
     Equivalent of the reference's segmented distance kernel
@@ -58,7 +66,8 @@ def part_sqdist_tables(x: jax.Array, codebook: jax.Array,
     cb = codebook.astype(compute_dtype)
     # (n, p, vl) x (p, k, vl) -> (p, n, k) batched matmul on the MXU.
     dot = jnp.einsum("npv,pkv->npk", xp, cb,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     xn = jnp.sum(x.reshape(n, p, vl).astype(jnp.float32) ** 2, axis=-1)
     cn = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)
     d2 = xn[:, :, None] + cn[None, :, :] - 2.0 * dot
@@ -67,7 +76,8 @@ def part_sqdist_tables(x: jax.Array, codebook: jax.Array,
 
 def subpart_sqdist_tables(x: jax.Array, centroids: jax.Array,
                           line_parts: int,
-                          compute_dtype=jnp.float32) -> jax.Array:
+                          compute_dtype=jnp.float32,
+                          precision=_DEFAULT_PRECISION) -> jax.Array:
     """Squared distances between line-part segments of x and of full centroids.
 
     The reference's `lineAssignmentKernel` / CPU `_L1distancesVirtual`
@@ -89,7 +99,8 @@ def subpart_sqdist_tables(x: jax.Array, centroids: jax.Array,
     xp = x.reshape(n, line_parts, lvl).astype(compute_dtype)
     cp = centroids.reshape(c1, line_parts, lvl).astype(compute_dtype)
     dot = jnp.einsum("nlv,clv->nlc", xp, cp,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     xn = jnp.sum(x.reshape(n, line_parts, lvl).astype(jnp.float32) ** 2, axis=-1)
     cn = jnp.sum(centroids.reshape(c1, line_parts, lvl).astype(jnp.float32) ** 2,
                  axis=-1)

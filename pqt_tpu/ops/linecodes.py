@@ -38,8 +38,7 @@ def unpack_codes(packed: jax.Array):
     return a, b, triangle.u16_to_lambda(lam_u16)
 
 
-def build_line_codes(part_dists: jax.Array,
-                     pair_dists: jax.Array) -> jax.Array:
+def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array):
     """Choose the best (A, B, lambda) per (vector, line-part).
 
     Args:
@@ -48,7 +47,9 @@ def build_line_codes(part_dists: jax.Array,
       pair_dists: (lp, c1, c1) squared distances between centroid segments
         (centroid_pair_sqdist).
     Returns:
-      (n, lp) uint32 packed codes.
+      (packed (n, lp) uint32 codes,
+       t3 (n,) float32 query-independent correction term — see
+       reconstruct_dists).
 
     Selection criterion: minimal projection residual
     d2 = b2 - lambda^2 * c2 over all ordered pairs A < B
@@ -70,39 +71,63 @@ def build_line_codes(part_dists: jax.Array,
     best_b = best % c1
     lam_best = jnp.take_along_axis(
         lam.reshape(n, lp, c1 * c1), best[..., None], axis=-1)[..., 0]
-    return pack_codes(best_a, best_b, triangle.lambda_to_u16(lam_best))
+    lam_u16 = triangle.lambda_to_u16(lam_best)
+    packed = pack_codes(best_a, best_b, lam_u16)
+    # t3 must use the DECODED lambda so build- and query-side terms agree.
+    lam_q = triangle.u16_to_lambda(lam_u16)
+    c2_best = jnp.take_along_axis(
+        jnp.broadcast_to(c2, (n, lp, c1, c1)).reshape(n, lp, c1 * c1),
+        best[..., None], axis=-1)[..., 0]
+    t3 = jnp.sum((lam_q * lam_q - lam_q) * c2_best, axis=-1)
+    return packed, t3
+
+
+def line_code_t3(packed: jax.Array, pair_dists: jax.Array) -> jax.Array:
+    """Recompute the query-independent term from packed codes.
+
+    t3 = sum_lp (lambda^2 - lambda) * pair[lp, A, B]; useful when only the
+    codes were stored.
+    packed: (n, lp) uint32.  Returns (n,) float32.
+    """
+    n, lp = packed.shape
+    c1 = pair_dists.shape[-1]
+    a_idx, b_idx, lam = unpack_codes(packed)
+    lp_idx = jnp.arange(lp, dtype=jnp.int32)[None, :]
+    flat_pair = pair_dists.reshape(lp * c1 * c1)
+    c2 = flat_pair[(lp_idx * c1 + a_idx) * c1 + b_idx]
+    return jnp.sum((lam * lam - lam) * c2, axis=-1)
 
 
 def reconstruct_dists(codes: jax.Array, query_part_dists: jax.Array,
-                      pair_dists: jax.Array) -> jax.Array:
+                      t3: jax.Array) -> jax.Array:
     """Approximate squared query<->vector distances from line codes.
 
     Args:
       codes: (B, K, lp) packed uint32 codes of the candidates of each query.
       query_part_dists: (B, lp, c1) query-to-centroid segment distances.
-      pair_dists: (lp, c1, c1) centroid-pair segment distances.
+      t3: (B, K) the candidates' precomputed query-independent term
+        sum_lp (lambda^2-lambda)*pair[lp,A,B] (from build_line_codes).
     Returns:
       (B, K) approximate squared distances (sum over line parts of the
       triangle reconstruction; rerankKernelFast PerturbationProTree.cu:5189-5351,
       CPU `distance`, treequantizer.hpp:423-439).
+
+    TPU note: the triangle identity
+        d = b2 + lam^2*c2 + lam*(a2-b2-c2)
+          = (1-lam)*qd[lp,A] + lam*qd[lp,B] + (lam^2-lam)*pair[lp,A,B]
+    splits into two query-dependent terms plus the precomputed t3.  The
+    query-dependent lookups run as a c1-unrolled compare-select accumulation
+    (pure fused VPU work) instead of 16M-element gathers from tiny tables,
+    which XLA lowers poorly on TPU (~40x slower).
     """
     Bq, K, lp = codes.shape
     c1 = query_part_dists.shape[-1]
     a_idx, b_idx, lam = unpack_codes(codes)    # each (B, K, lp)
 
-    # side_b = d(query_seg, centroid A); side_a = d(query_seg, centroid B).
-    qd = jnp.transpose(query_part_dists, (0, 2, 1))        # (B, c1, lp)
-
-    def gather_q(qd_b, idx_b):
-        # qd_b: (c1, lp); idx_b: (K, lp) -> out (K, lp)
-        return jnp.take_along_axis(qd_b, idx_b, axis=0)
-
-    side_b = jax.vmap(gather_q)(qd, a_idx)
-    side_a = jax.vmap(gather_q)(qd, b_idx)
-
-    lp_idx = jnp.arange(lp, dtype=jnp.int32)[None, None, :]
-    flat_pair = pair_dists.reshape(lp * c1 * c1)
-    side_c = flat_pair[(lp_idx * c1 + a_idx) * c1 + b_idx]
-
-    d = triangle.line_dist(side_a, side_b, side_c, lam)
-    return jnp.sum(d, axis=-1)
+    one_minus_lam = 1.0 - lam
+    acc = jnp.zeros((Bq, K, lp), jnp.float32)
+    for a in range(c1):
+        qd_a = query_part_dists[:, None, :, a]             # (B, 1, lp)
+        acc = acc + jnp.where(a_idx == a, one_minus_lam * qd_a, 0.0)
+        acc = acc + jnp.where(b_idx == a, lam * qd_a, 0.0)
+    return jnp.sum(acc, axis=-1) + t3

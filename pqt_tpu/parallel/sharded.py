@@ -1,0 +1,218 @@
+"""Multi-chip serving: hash-range-sharded database + merged top-k.
+
+This is a NEW capability relative to the reference, which is single-GPU and
+reaches beyond device memory only via zero-copy pinned host RAM
+(tool_query.cpp:134-135, PerturbationProTree.cu:5353-5619).  On TPU the
+database lives sharded across the HBM of a device mesh:
+
+  * the hash table (counts/prefix) is split by hash range — each device owns
+    a contiguous range of bins, and because the CSR payload is sorted by bin
+    id, each device's ids/codes are contiguous slices too;
+  * codebooks and queries are replicated (codebooks are tiny);
+  * every device runs the full probe pipeline against its local shard (bins
+    outside its range are simply empty), produces a local top-k, and the
+    per-shard lists are merged with an all_gather + re-top-k over ICI;
+  * the query batch can additionally be split over a second mesh axis for
+    data parallelism.
+
+Built on shard_map so the per-device program is explicit, with the collective
+(one all_gather of (k,)-lists) the only cross-chip traffic per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import PQTDatabase
+from pqt_tpu.models.query import QueryResult, query_core
+from pqt_tpu.models.tree import PQTree
+
+
+class ShardedDatabase(NamedTuple):
+    """Database split into S hash-range shards, stacked on a leading axis.
+
+    Leaves have a leading shard axis so a single NamedSharding over the mesh's
+    'db' axis places each shard on its device row.
+    """
+    prefix: jax.Array       # (S, hash_size/S) int32, rebased to local payload
+    counts: jax.Array       # (S, hash_size/S) int32
+    ids: jax.Array          # (S, max_shard_n) int32, -1 padded
+    codes: jax.Array        # (S, max_shard_n, lp) uint32
+    t3: jax.Array           # (S, max_shard_n) float32
+    n_per_shard: jax.Array  # (S,) int32 true payload lengths
+
+    @property
+    def n_shards(self) -> int:
+        return self.prefix.shape[0]
+
+
+def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
+                   pad_to_multiple: int = 1024) -> ShardedDatabase:
+    """Split a built database into hash-range shards (host-side, NumPy).
+
+    hash_size must divide evenly by n_shards.  The CSR payload slice of shard
+    s is [global_prefix[s*span], global_prefix[(s+1)*span]) — contiguous by
+    construction; each shard's prefix is rebased to its own slice.
+    """
+    assert cfg.hash_size % n_shards == 0
+    span = cfg.hash_size // n_shards
+    prefix = np.asarray(db.prefix)
+    counts = np.asarray(db.counts)
+    ids = np.asarray(db.ids)
+    codes = np.asarray(db.codes)
+    t3 = np.asarray(db.t3)
+    n = ids.shape[0]
+
+    starts = [int(prefix[s * span]) for s in range(n_shards)]
+    ends = starts[1:] + [n]
+    lens = [e - s for s, e in zip(starts, ends)]
+    max_n = max(max(lens), 1)
+    max_n = -(-max_n // pad_to_multiple) * pad_to_multiple
+
+    sh_prefix = np.empty((n_shards, span), np.int32)
+    sh_counts = np.empty((n_shards, span), np.int32)
+    sh_ids = np.full((n_shards, max_n), -1, np.int32)
+    sh_codes = np.zeros((n_shards, max_n, codes.shape[1]), np.uint32)
+    sh_t3 = np.zeros((n_shards, max_n), np.float32)
+    for s in range(n_shards):
+        sh_prefix[s] = prefix[s * span:(s + 1) * span] - starts[s]
+        sh_counts[s] = counts[s * span:(s + 1) * span]
+        sh_ids[s, :lens[s]] = ids[starts[s]:ends[s]]
+        sh_codes[s, :lens[s]] = codes[starts[s]:ends[s]]
+        sh_t3[s, :lens[s]] = t3[starts[s]:ends[s]]
+    return ShardedDatabase(
+        prefix=jnp.asarray(sh_prefix), counts=jnp.asarray(sh_counts),
+        ids=jnp.asarray(sh_ids), codes=jnp.asarray(sh_codes),
+        t3=jnp.asarray(sh_t3),
+        n_per_shard=jnp.asarray(lens, jnp.int32))
+
+
+def place_sharded_db(sdb: ShardedDatabase, mesh: Mesh,
+                     axis: str = "db") -> ShardedDatabase:
+    """Put each shard on its mesh row (leading axis sharded over `axis`)."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return ShardedDatabase(*[put(x) for x in sdb])
+
+
+def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
+                          db_axis: str = "db",
+                          batch_axis: Optional[str] = None):
+    """Build the jitted multi-chip query step.
+
+    Returns fn(tree, sharded_db, queries) -> QueryResult with replicated
+    outputs.  queries: (B, dim); if `batch_axis` names a second mesh axis the
+    batch is additionally split across it (B must divide evenly).
+    """
+    span = cfg.hash_size // mesh.shape[db_axis]
+
+    q_spec = P(batch_axis) if batch_axis else P()
+    db_specs = ShardedDatabase(
+        prefix=P(db_axis, None), counts=P(db_axis, None),
+        ids=P(db_axis, None), codes=P(db_axis, None, None),
+        t3=P(db_axis, None), n_per_shard=P(db_axis))
+    out_spec = (P(batch_axis) if batch_axis else P(),) * 3
+
+    def shard_fn(tree, sdb, queries):
+        # Inside shard_map every leaf has its local block shape; the leading
+        # shard axis of the db leaves is size 1 here.
+        shard_idx = jax.lax.axis_index(db_axis)
+        bin_offset = shard_idx.astype(jnp.int32) * span
+        ids, dists, ncand = query_core(
+            cfg, tree,
+            sdb.prefix[0], sdb.counts[0], sdb.ids[0], sdb.codes[0],
+            sdb.t3[0], queries, k, bin_offset=bin_offset)
+        # Merge the per-shard top-k lists over the db axis.
+        all_ids = jax.lax.all_gather(ids, db_axis)        # (S, B, k)
+        all_dists = jax.lax.all_gather(dists, db_axis)
+        S = all_ids.shape[0]
+        B = ids.shape[0]
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(B, S * ids.shape[1])
+        flat_dists = jnp.transpose(all_dists, (1, 0, 2)).reshape(B, -1)
+        neg_top, sel = jax.lax.top_k(-flat_dists, k)
+        merged_ids = jnp.take_along_axis(flat_ids, sel, axis=-1)
+        merged_ids = jnp.where(jnp.isfinite(-neg_top), merged_ids, -1)
+        total_cand = jax.lax.psum(ncand, db_axis)
+        return merged_ids, -neg_top, total_cand
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), db_specs, q_spec),
+        out_specs=out_spec,
+        check_vma=False)
+
+    @jax.jit
+    def query_fn(tree, sdb, queries):
+        ids, dists, ncand = mapped(tree, sdb, queries)
+        return QueryResult(indices=ids, dists=dists, n_candidates=ncand)
+
+    return query_fn
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel building blocks (encode / k-means) — GSPMD handles the
+# collectives when inputs carry shardings; these wrappers pin the layouts.
+# ---------------------------------------------------------------------------
+
+def make_dp_encode_fn(cfg: PQTConfig, mesh: Mesh, axis: str = "dp"):
+    """Data-parallel database encoding: rows split over `axis`, codebooks
+    replicated.  The multi-host analog of the reference's chunked build loop
+    (test1B.cpp:783-871): every host encodes its own rows, no merge needed
+    until CSR assembly."""
+    from pqt_tpu.models.db import encode_bins, encode_line_codes
+
+    data_sharding = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=(
+        NamedSharding(mesh, P(axis)),
+        NamedSharding(mesh, P(axis, None)),
+        NamedSharding(mesh, P(axis))))
+    def encode_fn(tree, data):
+        codes, t3 = encode_line_codes(cfg, tree, data)
+        return encode_bins(cfg, tree, data), codes, t3
+
+    def wrapped(tree, data):
+        data = jax.device_put(data, data_sharding)
+        tree = jax.device_put(tree, repl)
+        return encode_fn(tree, data)
+
+    return wrapped
+
+
+def make_dp_kmeans_step(mesh: Mesh, axis: str = "dp"):
+    """One data-parallel Lloyd E+M step: data rows sharded, centroids
+    replicated; the M-step reduction crosses the mesh via psum (inserted by
+    GSPMD from the shardings)."""
+    from pqt_tpu.ops.distance import pairwise_sqdist
+
+    data_sharding = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def step(data, centroids):
+        dist = pairwise_sqdist(data, centroids)
+        assign = jnp.argmin(dist, axis=-1)
+        onehot = (assign[:, None] == jnp.arange(centroids.shape[0])[None, :]
+                  ).astype(jnp.float32)
+        sums = jax.lax.dot_general(
+            onehot, data.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+        return jnp.where(counts[:, None] > 0,
+                         sums / jnp.maximum(counts, 1.0)[:, None], centroids)
+
+    def wrapped(data, centroids):
+        data = jax.device_put(data, data_sharding)
+        centroids = jax.device_put(centroids, repl)
+        return step(data, centroids)
+
+    return wrapped

@@ -1,0 +1,104 @@
+"""CLI: train a PQ tree and build a database from a dataset file.
+
+Equivalent of the reference's tool_createdb (tool_createdb.cpp:26-148):
+read vectors, train (or load) the tree, encode the database, dump artifacts.
+Artifact naming follows the reference's `basename_dim_p_c1_c2` scheme
+(tool_createdb.cpp:57-77).
+
+Usage:
+  python -m pqt_tpu.tools.create_db --dataset sift_base.fvecs \
+      --basename out/sift1m --p 4 --c1 16 --c2 16 [--chunksize 10000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def artifact_paths(basename: str, cfg) -> dict:
+    stem = f"{basename}_{cfg.dim}_{cfg.p}_{cfg.c1}_{cfg.c2}"
+    return {"tree": stem + ".tree.npz", "db": stem + ".db.npz"}
+
+
+def read_dataset(path: str, count: int = -1, offset: int = 0):
+    from pqt_tpu.io import texmex
+    if path.endswith((".fvecs", ".bvecs", ".ivecs")):
+        return texmex.read_xvecs(path, count, offset)
+    if path.endswith((".umem", ".imem", ".fmem")):
+        return texmex.read_mem(path, count, offset)
+    raise ValueError(f"unknown dataset format: {path}")
+
+
+def dataset_header(path: str):
+    from pqt_tpu.io import texmex
+    if path.endswith((".fvecs", ".bvecs", ".ivecs")):
+        return texmex.xvecs_header(path)
+    return texmex.mem_header(path)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", required=True,
+                    help=".fvecs/.bvecs/.umem database vectors")
+    ap.add_argument("--basename", required=True, help="artifact path stem")
+    ap.add_argument("--p", type=int, default=4)
+    ap.add_argument("--c1", type=int, default=16)
+    ap.add_argument("--c2", type=int, default=16)
+    ap.add_argument("--lineparts", type=int, default=16)
+    ap.add_argument("--hashsize", type=int, default=1 << 22,
+                    help="inverted-file slots (power of two)")
+    ap.add_argument("--chunksize", type=int, default=10_000_000,
+                    help="vectors per build chunk (test1B.cpp chunking)")
+    ap.add_argument("--train-size", type=int, default=2_000_000,
+                    help="training subsample (test1B.cpp:703 uses 2M)")
+    ap.add_argument("--keep-vectors", action="store_true",
+                    help="store raw vectors for exact re-rank")
+    ap.add_argument("--kmeans-iters", type=int, default=25)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    from pqt_tpu.config import PQTConfig
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.models.db import ChunkedDBBuilder
+    from pqt_tpu.models.tree import train_tree
+    from pqt_tpu.utils.metrics import occupancy_histogram
+
+    num, dim = dataset_header(args.dataset)
+    cfg = PQTConfig(dim=dim, p=args.p, c1=args.c1, c2=args.c2,
+                    line_parts=args.lineparts, hash_size=args.hashsize,
+                    kmeans_iters=args.kmeans_iters,
+                    k1_build=min(16, args.c1), k1_query=min(8, args.c1))
+    paths = artifact_paths(args.basename, cfg)
+    os.makedirs(os.path.dirname(paths["tree"]) or ".", exist_ok=True)
+
+    # --- tree: load-or-train (testPPQT.cpp:283-290 idiom) ----------------
+    if os.path.exists(paths["tree"]):
+        print(f"loading tree from {paths['tree']}")
+        tree = artifacts.load_tree(paths["tree"], cfg)
+    else:
+        n_train = min(num, args.train_size)
+        print(f"training tree on {n_train} vectors ...")
+        t0 = time.time()
+        tree = train_tree(cfg, read_dataset(args.dataset, n_train))
+        print(f"trained in {time.time() - t0:.1f}s")
+        artifacts.save_tree(paths["tree"], cfg, tree)
+
+    # --- database: chunked build ----------------------------------------
+    t0 = time.time()
+    builder = ChunkedDBBuilder(cfg, tree, keep_vectors=args.keep_vectors)
+    for off in range(0, num, args.chunksize):
+        n_chunk = min(args.chunksize, num - off)
+        print(f"encoding chunk @{off} ({n_chunk} vectors)")
+        builder.add_chunk(read_dataset(args.dataset, n_chunk, off))
+    db = builder.finalize()
+    print(f"built database of {db.n_vectors} vectors "
+          f"in {time.time() - t0:.1f}s")
+    print("occupancy:", occupancy_histogram(np.asarray(db.counts)))
+    artifacts.save_database(paths["db"], cfg, db)
+    print(f"saved {paths['tree']} and {paths['db']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,21 @@ def test_batched_masked_kmeans(rng):
     # problem 0's centroids near +5 mean, problem 1's near 0
     assert np.asarray(cents)[0].mean() > 3.0
     assert abs(np.asarray(cents)[1].mean()) < 1.0
+
+
+def test_kmeans_large_magnitude_data_no_collapse():
+    """SIFT-scale feature magnitudes (0..255) must still split clusters.
+
+    Regression test: an absolute split epsilon collapses the codebook on
+    un-normalized data (all points follow one child of every split).
+    Deterministic seed: LBG remains draw-sensitive to local minima (as is
+    the reference's), so this pins one known-good configuration."""
+    rng = np.random.default_rng(123)
+    centers = rng.uniform(0, 200, (8, 16)).astype(np.float32)
+    data = (centers[rng.integers(0, 8, 2000)] +
+            rng.normal(0, 5, (2000, 16))).astype(np.float32)
+    cents, assign = lbg_kmeans(jnp.asarray(data), None, 8)
+    assert len(np.unique(np.asarray(assign))) == 8
+    err = oracle.quantization_error(data, np.asarray(cents))
+    # within-cluster variance is 16 * 25; allow 3x slack
+    assert err < 3 * 16 * 25, err

@@ -193,8 +193,14 @@ class TestLineCodes:
         pair = (m + m.transpose(0, 2, 1)) / 2
         for l in range(lp):
             np.fill_diagonal(pair[l], 0.0)
-        packed = np.asarray(linecodes.build_line_codes(
-            jnp.asarray(pd), jnp.asarray(pair)))
+        packed, t3 = linecodes.build_line_codes(
+            jnp.asarray(pd), jnp.asarray(pair))
+        # t3 must agree with its recomputation from the packed codes
+        np.testing.assert_allclose(
+            np.asarray(t3),
+            np.asarray(linecodes.line_code_t3(packed, jnp.asarray(pair))),
+            rtol=1e-4, atol=1e-4)
+        packed = np.asarray(packed)
         for i in range(n):
             for l in range(lp):
                 A, B, lam = oracle.best_line_code(pd[i, l], pair[l])
@@ -218,13 +224,14 @@ class TestLineCodes:
         pair = centroid_pair_sqdist(jnp.asarray(cents), lp)
         db_tables = subpart_sqdist_tables(jnp.asarray(db), jnp.asarray(cents),
                                           lp)
-        codes = linecodes.build_line_codes(db_tables, pair)
+        codes, t3 = linecodes.build_line_codes(db_tables, pair)
         q_tables = subpart_sqdist_tables(jnp.asarray(q), jnp.asarray(cents),
                                          lp)
         # every query gets all 50 db vectors as "candidates"
         cand = jnp.broadcast_to(codes[None, :, :], (7, 50, lp))
+        cand_t3 = jnp.broadcast_to(t3[None, :], (7, 50))
         approx = np.asarray(linecodes.reconstruct_dists(
-            cand, q_tables, pair))
+            cand, q_tables, cand_t3))
         true = oracle.sqdist(q, db)
         # approximate: correlation must be high, errors bounded
         corr = np.corrcoef(approx.ravel(), true.ravel())[0, 1]

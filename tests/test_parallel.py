@@ -1,0 +1,126 @@
+"""Multi-chip sharded-database tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import build_database
+from pqt_tpu.models.query import query_knn
+from pqt_tpu.models.tree import train_tree
+from pqt_tpu.ops.distance import brute_force_knn
+from pqt_tpu.parallel import sharded
+from pqt_tpu.utils import metrics
+
+CFG = PQTConfig(
+    dim=32, p=4, c1=8, c2=4, line_parts=8, hash_size=1 << 16,
+    k1_build=4, k1_query=4, max_bins=256, bin_enum_factor=4,
+    max_candidates=1024, max_vec_per_bin=256, kmeans_iters=10)
+
+
+@pytest.fixture(scope="module")
+def built(clustered_data):
+    db_vecs, queries = clustered_data
+    tree = train_tree(CFG, db_vecs)
+    db = build_database(CFG, tree, db_vecs, encode_chunk=2048)
+    return tree, db, db_vecs, queries
+
+
+def test_shard_database_partition(built):
+    tree, db, db_vecs, _ = built
+    sdb = sharded.shard_database(CFG, db, 4)
+    assert sdb.n_shards == 4
+    # every vector appears in exactly one shard
+    all_ids = []
+    ids = np.asarray(sdb.ids)
+    lens = np.asarray(sdb.n_per_shard)
+    for s in range(4):
+        all_ids.append(ids[s, :lens[s]])
+    cat = np.concatenate(all_ids)
+    assert sorted(cat.tolist()) == list(range(db.n_vectors))
+    # per-shard counts sum to per-shard lengths
+    counts = np.asarray(sdb.counts)
+    np.testing.assert_array_equal(counts.sum(1), lens)
+    # rebased prefixes start at 0
+    prefix = np.asarray(sdb.prefix)
+    assert (prefix[:, 0] == 0).all()
+
+
+@pytest.mark.parametrize("mesh_shape,batch_axis", [
+    ((4,), None), ((8,), None), ((4, 2), "q")])
+def test_sharded_query_matches_or_beats_single_chip(built, mesh_shape,
+                                                    batch_axis):
+    tree, db, db_vecs, queries = built
+    axes = ("db",) if len(mesh_shape) == 1 else ("db", "q")
+    devs = np.array(jax.devices()[: np.prod(mesh_shape)]).reshape(mesh_shape)
+    mesh = Mesh(devs, axes)
+    sdb = sharded.shard_database(CFG, db, mesh_shape[0])
+    sdb = sharded.place_sharded_db(sdb, mesh)
+    qfn = sharded.make_sharded_query_fn(CFG, mesh, k=10,
+                                        batch_axis=batch_axis)
+    res = qfn(tree, sdb, jnp.asarray(queries))
+    _, gt = brute_force_knn(jnp.asarray(queries), jnp.asarray(db_vecs), 10)
+    r_sharded = metrics.recall_at(np.asarray(res.indices), np.asarray(gt),
+                                  ks=(10,))
+    single = query_knn(CFG, tree, db, jnp.asarray(queries), 10)
+    r_single = metrics.recall_at(np.asarray(single.indices), np.asarray(gt),
+                                 ks=(10,))
+    # sharding probes at least as many bins (max_bins per shard), so the
+    # merged recall can only improve
+    assert r_sharded["R@10"] >= r_single["R@10"] - 1e-9, (r_sharded, r_single)
+    # results are sorted by distance
+    d = np.asarray(res.dists)
+    assert (np.diff(d, axis=1)[np.isfinite(d[:, 1:])] >= -1e-5).all()
+
+
+def test_sharded_query_dedup_unique_results(built):
+    """With dedup_candidates=True the merged result has no repeated ids.
+
+    (Without dedup, hash collisions can probe a bin twice — matching the
+    reference's Fast gather path — so uniqueness is only guaranteed here.)
+    """
+    tree, db, db_vecs, queries = built
+    cfg = CFG.replace(dedup_candidates=True)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("db",))
+    sdb = sharded.place_sharded_db(
+        sharded.shard_database(cfg, db, 4), mesh)
+    qfn = sharded.make_sharded_query_fn(cfg, mesh, k=10)
+    res = qfn(tree, sdb, jnp.asarray(queries))
+    ids = np.asarray(res.indices)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(real) == len(np.unique(real))
+
+
+def test_dp_encode_matches_single(built):
+    tree, db, db_vecs, _ = built
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    enc = sharded.make_dp_encode_fn(CFG, mesh)
+    data = jnp.asarray(db_vecs[:1024])
+    bins, codes, t3 = enc(tree, data)
+    from pqt_tpu.models.db import encode_bins, encode_line_codes
+    np.testing.assert_array_equal(np.asarray(bins),
+                                  np.asarray(encode_bins(CFG, tree, data)))
+    want_codes, want_t3 = encode_line_codes(CFG, tree, data)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(want_codes))
+    np.testing.assert_allclose(np.asarray(t3), np.asarray(want_t3),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dp_kmeans_step_matches_single(built, rng):
+    _, _, db_vecs, _ = built
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    step = sharded.make_dp_kmeans_step(mesh)
+    data = jnp.asarray(db_vecs[:2048])
+    cents = jnp.asarray(rng.normal(0, 1, (8, 32)).astype(np.float32))
+    got = np.asarray(step(data, cents))
+    # oracle
+    import oracle
+    a = np.argmin(oracle.sqdist(np.asarray(data), np.asarray(cents)), axis=1)
+    want = np.asarray(cents).copy()
+    for c in range(8):
+        if (a == c).any():
+            want[c] = np.asarray(data)[a == c].mean(0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
