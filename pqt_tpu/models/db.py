@@ -47,8 +47,8 @@ class PQTDatabase(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def encode_bins(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
-    """Hashed bin id for each vector (build-time assignment).
+def encode_part_codes(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
+    """Per-part codes l1*c2+l2 for each vector (build-time assignment).
 
     Per part: minimize the level-2 distance over the k1_build best L1 cells
     and all c2 refinements (assignPerturbationBestBinKernel2 semantics:
@@ -71,7 +71,13 @@ def encode_bins(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
     best_l1 = jnp.take_along_axis(
         l1_of_cand, (best // cfg.c2)[..., None], axis=-1)[..., 0]
     best_l2 = best % cfg.c2
-    part_codes = best_l1 * cfg.c2 + best_l2              # (n, p)
+    return best_l1 * cfg.c2 + best_l2                    # (n, p)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def encode_bins(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
+    """Hashed bin id for each vector (build-time assignment)."""
+    part_codes = encode_part_codes(cfg, tree, x)
     return binning.hashed_bin_ids(part_codes, cfg.part_radix, cfg.hash_size)
 
 
@@ -124,18 +130,17 @@ def assemble_database(cfg: PQTConfig, bin_ids: np.ndarray,
 
     The host-side twin of the device CSR build; also the merge step for
     chunked out-of-core builds (test1B.cpp:804-871's interleave-merge becomes
-    a single global stable sort over all chunks' bin ids).
+    a single global stable counting sort over all chunks' bin ids).  Runs on
+    the native OpenMP runtime when available (pqt_tpu/cpp/pqt_host.cpp).
     """
-    order = np.argsort(bin_ids, kind="stable").astype(np.int32)
-    counts = np.bincount(bin_ids, minlength=cfg.hash_size).astype(np.int32)
-    prefix = np.concatenate(
-        [[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    from pqt_tpu.io import native
+    counts, prefix, order = native.build_csr(bin_ids, cfg.hash_size)
     return PQTDatabase(
         prefix=jnp.asarray(prefix),
         counts=jnp.asarray(counts),
         ids=jnp.asarray(order + id_offset),
-        codes=jnp.asarray(codes[order]),
-        t3=jnp.asarray(t3[order]),
+        codes=jnp.asarray(native.gather_rows(codes, order)),
+        t3=jnp.asarray(native.gather_rows(t3, order)),
         vectors=jnp.asarray(vectors) if vectors is not None else None,
     )
 

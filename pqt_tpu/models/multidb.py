@@ -1,0 +1,163 @@
+"""Multi-database (groupParts) variant: independent inverted files over
+part groups.
+
+Reference ProTree::buildMultiDB / selectMultiBinKernel /
+getMultiKVectorIDsKernel (ProTree.cu:990-1058, 1352-1399, 1584-1654,
+2936-3448): the p parts are split into g = p/group_parts groups, each group
+gets its OWN inverted file over (c1*c2)^group_parts bins, queries probe
+every group's file independently, and the candidate union (vectors found in
+any group, deduplicated) is re-ranked.  Coarser per-group bins mean each
+group recalls a superset along its own subspace — the classic multi-index
+trade: higher candidate recall for more gather work.
+
+Here each group is a full PQTDatabase (own CSR layout + payloads), probed
+with the shared traversal machinery restricted to its parts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import (PQTDatabase, _pad_chunk, encode_line_codes,
+                               encode_part_codes)
+from pqt_tpu.models.query import (QueryResult, _mask_duplicate_candidates,
+                                  _sorted_part_lists)
+from pqt_tpu.models.tree import PQTree, line_tables
+from pqt_tpu.ops import binning, distseq
+from pqt_tpu.ops.linecodes import reconstruct_dists
+
+
+class MultiDatabase(NamedTuple):
+    """g independent inverted files sharing one tree.
+
+    Parts per group is cfg.p // n_groups (kept out of the pytree leaves so
+    it stays static under jit).
+    """
+    databases: tuple            # tuple[PQTDatabase], one per group
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.databases)
+
+
+def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
+                         group_parts: int,
+                         encode_chunk: int = 65536) -> MultiDatabase:
+    """Build one inverted file per part group (buildMultiDB equivalent)."""
+    assert cfg.p % group_parts == 0
+    g = cfg.p // group_parts
+    radix = cfg.part_radix
+
+    data = np.asarray(data, np.float32)
+    n = data.shape[0]
+    part_codes = np.empty((n, cfg.p), np.int32)
+    codes = np.empty((n, cfg.line_parts), np.uint32)
+    t3 = np.empty((n,), np.float32)
+    for s in range(0, n, encode_chunk):
+        e = min(n, s + encode_chunk)
+        chunk = _pad_chunk(data[s:e], encode_chunk)
+        part_codes[s:e] = np.asarray(
+            encode_part_codes(cfg, tree, chunk))[: e - s]
+        c_chunk, t_chunk = encode_line_codes(cfg, tree, chunk)
+        codes[s:e] = np.asarray(c_chunk)[: e - s]
+        t3[s:e] = np.asarray(t_chunk)[: e - s]
+
+    from pqt_tpu.io import native
+    dbs = []
+    for gi in range(g):
+        sub = part_codes[:, gi * group_parts:(gi + 1) * group_parts]
+        bin_ids = np.asarray(binning.hashed_bin_ids(
+            jnp.asarray(sub), radix, cfg.hash_size))
+        counts, prefix, order = native.build_csr(bin_ids, cfg.hash_size)
+        dbs.append(PQTDatabase(
+            prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
+            ids=jnp.asarray(order),
+            codes=jnp.asarray(native.gather_rows(codes, order)),
+            t3=jnp.asarray(native.gather_rows(t3, order)),
+            vectors=None))
+    return MultiDatabase(databases=tuple(dbs))
+
+
+def _group_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
+                group_parts: int, group_idx: int, max_bins: int):
+    """Enumerate + compact probed bins for one part group."""
+    B = sorted_codes.shape[0]
+    lo = group_idx * group_parts
+    codes_g = sorted_codes[:, lo:lo + group_parts, :]       # (B, gp, L)
+    L = codes_g.shape[-1]
+    base = min(L, 16)
+    n_enum = min(cfg.bin_enum_factor * max_bins, base ** group_parts)
+    seq = distseq.static_sequence(base, group_parts)[:n_enum]
+    onehot = np.zeros((group_parts, n_enum, base), np.float32)
+    onehot[np.arange(group_parts)[:, None],
+           np.arange(n_enum)[None, :], seq.T] = 1.0
+    codes16 = codes_g[:, :, :base].astype(jnp.float32)
+    part_codes = jnp.einsum("bpr,per->bpe", codes16, jnp.asarray(onehot),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.int32)
+    bin_ids = binning.hashed_bin_ids(
+        jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)
+    bin_counts = counts[bin_ids]
+    return binning.compact_nonempty_bins(bin_ids, bin_counts, max_bins)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
+                    queries: jax.Array, k: int) -> QueryResult:
+    """Probe every group's inverted file; re-rank the candidate union.
+
+    The per-group probe budget is max_bins/g and candidate budget
+    max_candidates/g so total work matches the single-DB path.  Duplicate
+    candidates across groups are masked before top-k (the reference's
+    occurrence-count dedup, ProTree.cu:3243-3310).
+    """
+    # group count is pytree STRUCTURE (static under jit); the group_parts
+    # int leaf would be traced, so derive gp from the structure.
+    g = len(mdb.databases)
+    gp = cfg.p // g
+    queries = queries.astype(jnp.float32)
+    sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+    per_bins = max(cfg.max_bins // g, 1)
+    per_cand = max(cfg.max_candidates // g, 1)
+
+    all_ids, all_codes, all_t3, all_valid = [], [], [], []
+    for gi, db in enumerate(mdb.databases):
+        bins, bin_counts = _group_bins(cfg, sorted_d2, sorted_codes,
+                                       db.counts, gp, gi, per_bins)
+        prefix_of_bins = db.prefix[bins]
+        positions, valid = binning.gather_candidates(
+            prefix_of_bins, bin_counts, per_cand, cfg.max_vec_per_bin)
+        safe_pos = jnp.where(valid, positions, 0)
+        all_ids.append(db.ids[safe_pos])
+        all_codes.append(db.codes[safe_pos])
+        all_t3.append(db.t3[safe_pos])
+        all_valid.append(valid)
+
+    cand_ids = jnp.concatenate(all_ids, axis=1)
+    cand_codes = jnp.concatenate(all_codes, axis=1)
+    cand_t3 = jnp.concatenate(all_t3, axis=1)
+    valid = jnp.concatenate(all_valid, axis=1)
+
+    q_line = line_tables(cfg, tree, queries)
+    dists = reconstruct_dists(cand_codes, q_line, cand_t3)
+    dists = jnp.where(valid, dists, jnp.inf)
+    # cross-group duplicates are expected; always dedup here.
+    dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+    k_eff = min(k, cand_ids.shape[1])
+    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+    dists_out = -neg_top
+    if k_eff < k:
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k - k_eff)),
+                          constant_values=-1)
+        dists_out = jnp.pad(dists_out, ((0, 0), (0, k - k_eff)),
+                            constant_values=jnp.inf)
+    return QueryResult(indices=top_ids, dists=dists_out,
+                       n_candidates=jnp.sum(valid, axis=-1))

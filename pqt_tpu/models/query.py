@@ -102,12 +102,18 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
     B, p, L = sorted_codes.shape
     base = min(L, 16)                  # reference clamps to 16 (ProTree.cu:135)
     n_enum = min(cfg.bin_enum_factor * cfg.max_bins, base ** p)
-    seq = jnp.asarray(distseq.static_sequence(base, p)[:n_enum])  # (E, p)
+    seq = distseq.static_sequence(base, p)[:n_enum]               # (E, p)
 
-    # codes_of_bin[b, e] from per-part gathers along the sorted lists:
-    # part_codes (B, p, E) via advanced indexing of (B, p, L) with rank (p, E).
-    part_codes = sorted_codes[
-        :, jnp.arange(p, dtype=jnp.int32)[:, None], seq.T]
+    # codes_of_bin[b, e] = sorted_codes[b, p, seq[e, p]].  The traversal
+    # ranks are SHARED across the batch, so the lookup is a matmul with a
+    # static one-hot matrix (codes fit exactly in f32) — MXU-fast, instead
+    # of a 16M-element batched gather which XLA lowers poorly on TPU.
+    onehot = np.zeros((p, n_enum, base), np.float32)
+    onehot[np.arange(p)[:, None], np.arange(n_enum)[None, :], seq.T] = 1.0
+    codes16 = sorted_codes[:, :, :base].astype(jnp.float32)
+    part_codes = jnp.einsum(
+        "bpr,per->bpe", codes16, jnp.asarray(onehot),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     bin_ids = binning.hashed_bin_ids(
         jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)
     local_size = counts.shape[0]

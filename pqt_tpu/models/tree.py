@@ -105,6 +105,75 @@ def train_tree(cfg: PQTConfig, train_data, key=None) -> PQTree:
     return PQTree.from_codebooks(cfg, cb1, cb2)
 
 
+def mark_dense_vectors(cfg: PQTConfig, assign1: jax.Array,
+                       percent: float = 0.3) -> jax.Array:
+    """True for vectors in the densest L1 bins holding `percent` of samples.
+
+    Reference createTreeSplitSparse / calcL1Histogram / markSparseVectors
+    (ProTree.cu:512-706): the full-vector L1 bin is the mixed-radix combo of
+    the p level-1 assignments; bins are ranked by occupancy and the top bins
+    covering `percent` of the population are "dense".
+    """
+    n, p = assign1.shape
+    n_bins = cfg.c1 ** p
+    bin_id = assign1[:, 0].astype(jnp.int32)
+    for j in range(1, p):
+        bin_id = bin_id * cfg.c1 + assign1[:, j].astype(jnp.int32)
+    hist = jnp.zeros((n_bins,), jnp.int32).at[bin_id].add(1)
+    order = jnp.argsort(-hist)                       # densest first
+    sorted_hist = hist[order]
+    cum = jnp.cumsum(sorted_hist)
+    # bins needed to cover percent*n samples (inclusive of the crossing bin)
+    n_dense_bins = jnp.sum(cum < percent * n) + 1
+    rank_of_bin = jnp.zeros((n_bins,), jnp.int32).at[order].set(
+        jnp.arange(n_bins, dtype=jnp.int32))
+    dense_bin = rank_of_bin < n_dense_bins
+    return dense_bin[bin_id]
+
+
+def train_tree_split(cfg: PQTConfig, train_data, percent: float = 0.3,
+                     key=None):
+    """Sparse/dense split training (createTreeSplitSparse, ProTree.cu:641-706).
+
+    Trains ONE shared L1 codebook, then two sets of refinement codebooks:
+    one fitted on the dense population (vectors in the busiest L1 bins
+    holding `percent` of samples) and one on the sparse remainder.
+
+    Returns (dense_tree, sparse_tree, dense_mask) where dense_mask applies
+    to the (possibly subsampled) training set order.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    data = jnp.asarray(train_data, jnp.float32)
+    k1, k2a, k2b = jax.random.split(key, 3)
+    cb1, assign1 = _train_level1(cfg, data, k1)
+    dense_mask = mark_dense_vectors(cfg, assign1, percent)
+
+    def level2_with_population(pop_mask, key):
+        n = data.shape[0]
+        parts = data.reshape(n, cfg.p, cfg.vl).transpose(1, 0, 2)
+        cell = (assign1.transpose(1, 0)[:, None, :] ==
+                jnp.arange(cfg.c1, dtype=jnp.int32)[None, :, None])
+        masks = cell & pop_mask[None, None, :]
+        keys = jax.random.split(key, cfg.p * cfg.c1).reshape(cfg.p, cfg.c1, 2)
+
+        def one_cell(part_data, mask, k):
+            c, _ = lbg_kmeans(
+                part_data, mask, cfg.c2, iters=cfg.kmeans_iters,
+                churn_tol=cfg.kmeans_churn_tol, move_tol=cfg.kmeans_move_tol,
+                split_epsilon=cfg.split_epsilon, key=k, init=cfg.kmeans_init)
+            return c
+
+        per_part = jax.vmap(one_cell, in_axes=(None, 0, 0))
+        return jax.vmap(per_part)(parts, masks, keys)
+
+    cb2_dense = level2_with_population(dense_mask, k2a)
+    cb2_sparse = level2_with_population(~dense_mask, k2b)
+    return (PQTree.from_codebooks(cfg, cb1, cb2_dense),
+            PQTree.from_codebooks(cfg, cb1, cb2_sparse),
+            dense_mask)
+
+
 # ---------------------------------------------------------------------------
 # Distance-table helpers shared by encode and query paths.
 # ---------------------------------------------------------------------------

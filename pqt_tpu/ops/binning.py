@@ -163,24 +163,31 @@ def gather_candidates(prefix_of_bins: jax.Array, counts_of_bins: jax.Array,
     starts = ends - capped
     total = ends[:, -1]
 
-    # Slot -> owning-bin mapping without searchsorted: scatter each non-empty
-    # bin's index at its start slot (max-combine), then a running max along
-    # slots assigns every slot the latest bin whose interval covers it.
+    # positions[slot] = slot + (prefix_i - starts_i) for the bin i owning the
+    # slot.  Scatter that per-bin offset at each occupied bin's start slot,
+    # then fill it forward along the slot axis with a "latest valid wins"
+    # associative scan — no searchsorted, no batched gathers.
+    delta = prefix_of_bins - starts                          # (B, nb)
     row = jnp.arange(B, dtype=jnp.int32)[:, None]
     occupied = capped > 0
     in_budget = occupied & (starts < K)
     dump = B * K
     flat_t = jnp.where(in_budget, row * K + starts, dump).ravel()
-    bin_idx = jnp.broadcast_to(
-        jnp.arange(nb, dtype=jnp.int32)[None, :], (B, nb)).ravel()
-    seed = (jnp.zeros((B * K + 1,), jnp.int32)
-            .at[flat_t].max(bin_idx, mode="drop")
-            [:B * K].reshape(B, K))
-    b_of_slot = jax.lax.associative_scan(jnp.maximum, seed, axis=-1)
+    seed_v = (jnp.zeros((B * K + 1,), jnp.int32)
+              .at[flat_t].set(delta.ravel(), mode="drop")
+              [:B * K].reshape(B, K))
+    seed_f = (jnp.zeros((B * K + 1,), jnp.bool_)
+              .at[flat_t].set(in_budget.ravel(), mode="drop")
+              [:B * K].reshape(B, K))
 
+    def fill_forward(l, r):
+        lv, lf = l
+        rv, rf = r
+        return jnp.where(rf, rv, lv), lf | rf
+
+    filled, _ = jax.lax.associative_scan(fill_forward, (seed_v, seed_f),
+                                         axis=-1)
     slots = jnp.arange(K, dtype=jnp.int32)[None, :]
-    within = slots - jnp.take_along_axis(starts, b_of_slot, axis=-1)
-    positions = jnp.take_along_axis(prefix_of_bins, b_of_slot,
-                                    axis=-1) + within
+    positions = slots + filled
     valid = slots < total[:, None]
     return positions, valid

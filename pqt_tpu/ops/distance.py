@@ -128,26 +128,89 @@ def centroid_pair_sqdist(centroids: jax.Array, line_parts: int) -> jax.Array:
 
 
 def brute_force_knn(queries: jax.Array, db: jax.Array, k: int,
-                    batch: int = 1024) -> tuple[jax.Array, jax.Array]:
+                    batch: int = 1024,
+                    db_chunk: int = 262144) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by full distance computation; the correctness oracle.
 
     Equivalent of the reference's in-library brute-force cross-checks
     (ProTree.cu:2873-2920, PerturbationProTree.cu:8115-8163).
 
+    Memory-bounded: queries stream in batches and the database streams in
+    column chunks with a running top-k merge (a full q x n distance matrix
+    at n=1e6+ would exhaust HBM).
+
     Returns (dists (q, k), indices (q, k)), ascending by distance.
     """
     n_q = queries.shape[0]
+    n = db.shape[0]
 
-    def one_batch(q):
-        d = pairwise_sqdist(q, db)
-        neg_d, idx = jax.lax.top_k(-d, k)
-        return -neg_d, idx
+    # Exact hierarchical top-k: lax.top_k lowers to a full sort, so sorting
+    # 256k-wide rows directly is ~100x slower than top-k per 2048-wide tile
+    # followed by a merge (still exact: the global top-k is contained in the
+    # union of per-tile top-k).  Chunks are tile-aligned.
+    tile = 2048
+    db_chunk = min(db_chunk, -(-n // tile) * tile)
+    n_chunks = -(-n // db_chunk)
+
+    @jax.jit
+    def one_batch(q, db):
+        # db is an argument (not a closure) so the jitted program does not
+        # embed the full database as a constant.
+        def body(carry, s):
+            best_d, best_i = carry
+            block = jax.lax.dynamic_slice_in_dim(
+                db, s * db_chunk, db_chunk, 0)
+            d = pairwise_sqdist(q, block)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, d.shape, 1) + s * db_chunk
+            # mask padding columns of the final chunk
+            d = jnp.where(col < n, d, jnp.inf)
+            bq = d.shape[0]
+            if db_chunk > tile:
+                k_t = min(k, tile)
+                dt = d.reshape(bq, db_chunk // tile, tile)
+                ct = col.reshape(bq, db_chunk // tile, tile)
+                neg_t, sel_t = jax.lax.top_k(-dt, k_t)
+                d = (-neg_t).reshape(bq, -1)
+                col = jnp.take_along_axis(ct, sel_t, axis=2).reshape(bq, -1)
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate([best_i, col], axis=1)
+            neg_top, sel = jax.lax.top_k(-cat_d, k)
+            return (-neg_top, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+        init = (jnp.full((q.shape[0], k), jnp.inf),
+                jnp.full((q.shape[0], k), -1, jnp.int32))
+        (best_d, best_i), _ = jax.lax.scan(
+            body, init, jnp.arange(n_chunks))
+        return best_d, best_i
+
+    if n % db_chunk:
+        pad = db_chunk - n % db_chunk
+        db = jnp.concatenate([db, jnp.zeros((pad, db.shape[1]), db.dtype)])
+    assert db_chunk % tile == 0 or db_chunk < tile
 
     if n_q <= batch:
-        return one_batch(queries)
+        return one_batch(queries, db)
     outs_d, outs_i = [], []
     for s in range(0, n_q, batch):
-        d, i = one_batch(queries[s:s + batch])
+        d, i = one_batch(queries[s:s + batch], db)
         outs_d.append(d)
         outs_i.append(i)
     return jnp.concatenate(outs_d, 0), jnp.concatenate(outs_i, 0)
+
+
+def brute_force_knn_fast(queries: jax.Array, db: jax.Array, k: int,
+                         recall_target: float = 0.95,
+                         precision=None) -> tuple[jax.Array, jax.Array]:
+    """Throughput-oriented brute force: full distances + TPU-native
+    approx_max_k (PartialReduce) instead of a sort-based exact top-k.
+
+    This is what a production exact-scan baseline on TPU actually runs —
+    used as the hardware-normalized QPS baseline in bench.py (ground truth
+    still comes from the exact brute_force_knn).
+    """
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    d = pairwise_sqdist(queries, db, precision=precision)
+    neg_d, idx = jax.lax.approx_max_k(-d, k, recall_target=recall_target)
+    return -neg_d, idx
