@@ -112,6 +112,13 @@ class PQTConfig:
             raise ValueError("k1_query (W) must be <= c1")
         if self.k1_build > self.c1:
             raise ValueError("k1_build must be <= c1")
+        if (self.part_radix ** self.p > self.hash_size
+                and self.hash_size & (self.hash_size - 1) != 0):
+            # When bin ids must be hashed down, the table size must be a
+            # power of two (ops/binning.py uses shift-based Fibonacci
+            # hashing; the reference's `% 4e8` is replaced by this).
+            raise ValueError(
+                "hash_size must be a power of two when (c1*c2)**p exceeds it")
 
     # --- (de)serialization --------------------------------------------------
     def to_json(self) -> str:
@@ -130,9 +137,11 @@ SIFT1M_CONFIG = PQTConfig(dim=128, p=4, c1=16, c2=16, line_parts=16,
                           k1_build=16, k1_query=8, max_bins=4096,
                           max_candidates=4096, hash_size=1 << 22)
 
+# hash_size: the reference uses HASH_SIZE = 4e8 (PerturbationProTree.hh:12);
+# our shift-based hashing needs a power of two, so we use 2^29 ~= 5.4e8.
 SIFT1B_CONFIG = PQTConfig(dim=128, p=4, c1=16, c2=16, line_parts=32,
                           k1_build=16, k1_query=16, max_bins=64 * 8192,
-                          max_candidates=32768, hash_size=400_000_000)
+                          max_candidates=32768, hash_size=1 << 29)
 
 GIST1M_CONFIG = PQTConfig(dim=960, p=4, c1=16, c2=16, line_parts=32,
                           k1_build=16, k1_query=8, max_bins=4096,

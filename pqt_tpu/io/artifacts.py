@@ -25,7 +25,7 @@ from pqt_tpu.config import PQTConfig
 from pqt_tpu.models.db import PQTDatabase
 from pqt_tpu.models.tree import PQTree
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 class ArtifactMismatch(RuntimeError):
@@ -69,25 +69,29 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
     arrays = dict(
         __version__=_FORMAT_VERSION, config=cfg.to_json(),
         prefix=np.asarray(db.prefix), counts=np.asarray(db.counts),
-        ids=np.asarray(db.ids), codes=np.asarray(db.codes),
-        t3=np.asarray(db.t3))
+        payload=np.asarray(db.payload))
     if db.vectors is not None:
         arrays["vectors"] = np.asarray(db.vectors)
     np.savez_compressed(path, **arrays)
 
 
 def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
+    from pqt_tpu.models.db import pack_payload
+
     with np.load(path, allow_pickle=False) as z:
         _check_config(str(z["config"]), cfg, _DB_FIELDS)
         vectors = jnp.asarray(z["vectors"]) if "vectors" in z else None
+        if "payload" in z:
+            payload = z["payload"]
+        else:   # format v1 stored ids/codes/t3 separately
+            payload = pack_payload(z["ids"], z["codes"], z["t3"])
         db = PQTDatabase(
             prefix=jnp.asarray(z["prefix"]), counts=jnp.asarray(z["counts"]),
-            ids=jnp.asarray(z["ids"]), codes=jnp.asarray(z["codes"]),
-            t3=jnp.asarray(z["t3"]), vectors=vectors)
+            payload=jnp.asarray(payload), vectors=vectors)
     if db.prefix.shape[0] != cfg.hash_size:
         raise ArtifactMismatch("hash table size mismatch")
-    if db.codes.shape[1] != cfg.line_parts:
-        raise ArtifactMismatch("line_parts mismatch in codes")
+    if db.payload.shape[1] != 2 + cfg.line_parts:
+        raise ArtifactMismatch("line_parts mismatch in payload")
     return db
 
 

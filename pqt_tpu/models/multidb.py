@@ -25,7 +25,7 @@ import numpy as np
 
 from pqt_tpu.config import PQTConfig
 from pqt_tpu.models.db import (PQTDatabase, _pad_chunk, encode_line_codes,
-                               encode_part_codes)
+                               encode_part_codes, unpack_payload)
 from pqt_tpu.models.query import (QueryResult, _mask_duplicate_candidates,
                                   _sorted_part_lists)
 from pqt_tpu.models.tree import PQTree, line_tables
@@ -69,6 +69,8 @@ def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
         t3[s:e] = np.asarray(t_chunk)[: e - s]
 
     from pqt_tpu.io import native
+    from pqt_tpu.models.db import pack_payload
+    packed = pack_payload(np.arange(n, dtype=np.int32), codes, t3)
     dbs = []
     for gi in range(g):
         sub = part_codes[:, gi * group_parts:(gi + 1) * group_parts]
@@ -77,9 +79,7 @@ def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
         counts, prefix, order = native.build_csr(bin_ids, cfg.hash_size)
         dbs.append(PQTDatabase(
             prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
-            ids=jnp.asarray(order),
-            codes=jnp.asarray(native.gather_rows(codes, order)),
-            t3=jnp.asarray(native.gather_rows(t3, order)),
+            payload=jnp.asarray(native.gather_rows(packed, order)),
             vectors=None))
     return MultiDatabase(databases=tuple(dbs))
 
@@ -134,9 +134,10 @@ def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
         positions, valid = binning.gather_candidates(
             prefix_of_bins, bin_counts, per_cand, cfg.max_vec_per_bin)
         safe_pos = jnp.where(valid, positions, 0)
-        all_ids.append(db.ids[safe_pos])
-        all_codes.append(db.codes[safe_pos])
-        all_t3.append(db.t3[safe_pos])
+        g_ids, g_codes, g_t3 = unpack_payload(db.payload[safe_pos])
+        all_ids.append(g_ids)
+        all_codes.append(g_codes)
+        all_t3.append(g_t3)
         all_valid.append(valid)
 
     cand_ids = jnp.concatenate(all_ids, axis=1)

@@ -125,15 +125,17 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
     return binning.compact_nonempty_bins(safe_ids, bin_counts, cfg.max_bins)
 
 
-def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, ids, codes, t3,
+def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
                queries, k: int, bin_offset=None):
     """Shared single-shard query math over raw CSR arrays.
 
     prefix/counts are (local) occupancy tables (prefix rebased to the local
-    payload arrays); ids/codes/t3 are the (local) CSR-ordered payloads.
-    Returns (cand_ids (B, k), dists (B, k), n_candidates (B,)) with line
-    re-ranking; -1 ids mark missing results.
+    payload array); payload is the (local) CSR-ordered packed payload
+    (see PQTDatabase).  Returns (cand_ids (B, k), dists (B, k),
+    n_candidates (B,)) with line re-ranking; -1 ids mark missing results.
     """
+    from pqt_tpu.models.db import unpack_payload
+
     queries = queries.astype(jnp.float32)
     sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
     bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
@@ -142,9 +144,7 @@ def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, ids, codes, t3,
     positions, valid = binning.gather_candidates(
         prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
     safe_pos = jnp.where(valid, positions, 0)
-    cand_ids = ids[safe_pos]                          # (B, K)
-    cand_codes = codes[safe_pos]                      # (B, K, lp)
-    cand_t3 = t3[safe_pos]                            # (B, K)
+    cand_ids, cand_codes, cand_t3 = unpack_payload(payload[safe_pos])
     q_line = line_tables(cfg, tree, queries)          # (B, lp, c1)
     dists = reconstruct_dists(cand_codes, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
@@ -177,7 +177,7 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
             prefix_of_bins, bin_counts, cfg.max_candidates,
             cfg.max_vec_per_bin)
         safe_pos = jnp.where(valid, positions, 0)
-        cand_ids = db.ids[safe_pos]                   # (B, K)
+        cand_ids = db.payload[safe_pos, 0]            # (B, K)
         cand_vecs = db.vectors[cand_ids]              # (B, K, dim), by orig id
         diff = cand_vecs - queries[:, None, :]
         dists = jnp.sum(diff * diff, axis=-1)
@@ -192,8 +192,7 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
         n_cand = jnp.sum(valid, axis=-1)
     else:
         top_ids, top_dists, n_cand = query_core(
-            cfg, tree, db.prefix, db.counts, db.ids, db.codes, db.t3,
-            queries, k)
+            cfg, tree, db.prefix, db.counts, db.payload, queries, k)
         k_eff = min(k, cfg.max_candidates)
     if k_eff < k:    # requested more than the candidate budget: pad
         pad = k - k_eff

@@ -94,10 +94,12 @@ def _final_bins(cfg: PQTConfig, pair_d2, pair_codes, counts,
     return binning.compact_nonempty_bins(safe_ids, bin_counts, cfg.max_bins)
 
 
-def query_big_core(cfg: PQTConfig, tree: PQTree, prefix, counts, ids, codes,
-                   t3, queries, k: int, n_intermediate: int = 256,
+def query_big_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
+                   queries, k: int, n_intermediate: int = 256,
                    bin_offset=None):
     """Single-shard BIG query math (line re-rank)."""
+    from pqt_tpu.models.db import unpack_payload
+
     queries = queries.astype(jnp.float32)
     sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
     pair_d2, pair_codes = _pair_merge(cfg, sorted_d2, sorted_codes,
@@ -108,9 +110,7 @@ def query_big_core(cfg: PQTConfig, tree: PQTree, prefix, counts, ids, codes,
     positions, valid = binning.gather_candidates(
         prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
     safe_pos = jnp.where(valid, positions, 0)
-    cand_ids = ids[safe_pos]
-    cand_codes = codes[safe_pos]
-    cand_t3 = t3[safe_pos]
+    cand_ids, cand_codes, cand_t3 = unpack_payload(payload[safe_pos])
     q_line = line_tables(cfg, tree, queries)
     dists = reconstruct_dists(cand_codes, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
@@ -129,8 +129,8 @@ def query_big_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
                   n_intermediate: int = 256) -> QueryResult:
     """Batched BIG k-NN (queryBIGKNNRerank2 equivalent, line re-rank)."""
     top_ids, dists, n_cand = query_big_core(
-        cfg, tree, db.prefix, db.counts, db.ids, db.codes, db.t3,
-        queries, k, n_intermediate)
+        cfg, tree, db.prefix, db.counts, db.payload, queries, k,
+        n_intermediate)
     k_eff = min(k, cfg.max_candidates)
     if k_eff < k:
         pad = k - k_eff

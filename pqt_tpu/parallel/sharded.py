@@ -43,9 +43,7 @@ class ShardedDatabase(NamedTuple):
     """
     prefix: jax.Array       # (S, hash_size/S) int32, rebased to local payload
     counts: jax.Array       # (S, hash_size/S) int32
-    ids: jax.Array          # (S, max_shard_n) int32, -1 padded
-    codes: jax.Array        # (S, max_shard_n, lp) uint32
-    t3: jax.Array           # (S, max_shard_n) float32
+    payload: jax.Array      # (S, max_shard_n, 2+lp) int32, zero padded
     n_per_shard: jax.Array  # (S,) int32 true payload lengths
 
     @property
@@ -65,10 +63,8 @@ def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
     span = cfg.hash_size // n_shards
     prefix = np.asarray(db.prefix)
     counts = np.asarray(db.counts)
-    ids = np.asarray(db.ids)
-    codes = np.asarray(db.codes)
-    t3 = np.asarray(db.t3)
-    n = ids.shape[0]
+    payload = np.asarray(db.payload)
+    n = payload.shape[0]
 
     starts = [int(prefix[s * span]) for s in range(n_shards)]
     ends = starts[1:] + [n]
@@ -78,19 +74,15 @@ def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
 
     sh_prefix = np.empty((n_shards, span), np.int32)
     sh_counts = np.empty((n_shards, span), np.int32)
-    sh_ids = np.full((n_shards, max_n), -1, np.int32)
-    sh_codes = np.zeros((n_shards, max_n, codes.shape[1]), np.uint32)
-    sh_t3 = np.zeros((n_shards, max_n), np.float32)
+    sh_payload = np.zeros((n_shards, max_n, payload.shape[1]), np.int32)
+    sh_payload[:, :, 0] = -1          # id column: -1 marks padding
     for s in range(n_shards):
         sh_prefix[s] = prefix[s * span:(s + 1) * span] - starts[s]
         sh_counts[s] = counts[s * span:(s + 1) * span]
-        sh_ids[s, :lens[s]] = ids[starts[s]:ends[s]]
-        sh_codes[s, :lens[s]] = codes[starts[s]:ends[s]]
-        sh_t3[s, :lens[s]] = t3[starts[s]:ends[s]]
+        sh_payload[s, :lens[s]] = payload[starts[s]:ends[s]]
     return ShardedDatabase(
         prefix=jnp.asarray(sh_prefix), counts=jnp.asarray(sh_counts),
-        ids=jnp.asarray(sh_ids), codes=jnp.asarray(sh_codes),
-        t3=jnp.asarray(sh_t3),
+        payload=jnp.asarray(sh_payload),
         n_per_shard=jnp.asarray(lens, jnp.int32))
 
 
@@ -117,8 +109,7 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
     q_spec = P(batch_axis) if batch_axis else P()
     db_specs = ShardedDatabase(
         prefix=P(db_axis, None), counts=P(db_axis, None),
-        ids=P(db_axis, None), codes=P(db_axis, None, None),
-        t3=P(db_axis, None), n_per_shard=P(db_axis))
+        payload=P(db_axis, None, None), n_per_shard=P(db_axis))
     out_spec = (P(batch_axis) if batch_axis else P(),) * 3
 
     def shard_fn(tree, sdb, queries):
@@ -127,9 +118,8 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
         shard_idx = jax.lax.axis_index(db_axis)
         bin_offset = shard_idx.astype(jnp.int32) * span
         ids, dists, ncand = query_core(
-            cfg, tree,
-            sdb.prefix[0], sdb.counts[0], sdb.ids[0], sdb.codes[0],
-            sdb.t3[0], queries, k, bin_offset=bin_offset)
+            cfg, tree, sdb.prefix[0], sdb.counts[0], sdb.payload[0],
+            queries, k, bin_offset=bin_offset)
         # Merge the per-shard top-k lists over the db axis.
         all_ids = jax.lax.all_gather(ids, db_axis)        # (S, B, k)
         all_dists = jax.lax.all_gather(dists, db_axis)

@@ -34,7 +34,7 @@ def test_shard_database_partition(built):
     assert sdb.n_shards == 4
     # every vector appears in exactly one shard
     all_ids = []
-    ids = np.asarray(sdb.ids)
+    ids = np.asarray(sdb.payload[:, :, 0])
     lens = np.asarray(sdb.n_per_shard)
     for s in range(4):
         all_ids.append(ids[s, :lens[s]])
