@@ -47,6 +47,13 @@ class PQTConfig:
                                # the first max_bins non-empty (reference maxTrials)
     max_candidates: int = 4096  # candidate vectors gathered per query (k2)
     max_vec_per_bin: int = 1024  # per-bin candidate cap during gather
+    pair_filter: bool = True   # prefilter enumerated bins with pair-code
+                               # occupancy tables before the (expensive)
+                               # per-bin count lookup; needs even p and
+                               # part_radix**2 <= pair_filter_max_table
+    pair_filter_slack: float = 1.5  # keep slack*max_bins pair-passing bins
+                                    # before the true occupancy compaction
+    pair_filter_max_table: int = 1 << 22  # max entries per pair table
     dedup_candidates: bool = False  # drop duplicate candidate ids before
                                     # top-k (hash collisions can probe the
                                     # same bin twice).  The reference's
@@ -96,6 +103,12 @@ class PQTConfig:
     def part_radix(self) -> int:
         """Per-part code radix c1*c2."""
         return self.c1 * self.c2
+
+    @property
+    def pair_filter_enabled(self) -> bool:
+        """Whether the pair-occupancy bin prefilter applies to this shape."""
+        return (self.pair_filter and self.p % 2 == 0
+                and self.part_radix ** 2 <= self.pair_filter_max_table)
 
     def __post_init__(self):
         if self.dim % self.p != 0:

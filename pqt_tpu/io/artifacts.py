@@ -70,6 +70,8 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
         __version__=_FORMAT_VERSION, config=cfg.to_json(),
         prefix=np.asarray(db.prefix), counts=np.asarray(db.counts),
         payload=np.asarray(db.payload))
+    if db.pair_occ is not None:
+        arrays["pair_occ"] = np.asarray(db.pair_occ)
     if db.vectors is not None:
         arrays["vectors"] = np.asarray(db.vectors)
     np.savez_compressed(path, **arrays)
@@ -85,9 +87,10 @@ def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
             payload = z["payload"]
         else:   # format v1 stored ids/codes/t3 separately
             payload = pack_payload(z["ids"], z["codes"], z["t3"])
+        pair_occ = jnp.asarray(z["pair_occ"]) if "pair_occ" in z else None
         db = PQTDatabase(
             prefix=jnp.asarray(z["prefix"]), counts=jnp.asarray(z["counts"]),
-            payload=jnp.asarray(payload), vectors=vectors)
+            payload=jnp.asarray(payload), pair_occ=pair_occ, vectors=vectors)
     if db.prefix.shape[0] != cfg.hash_size:
         raise ArtifactMismatch("hash table size mismatch")
     if db.payload.shape[1] != 2 + cfg.line_parts:

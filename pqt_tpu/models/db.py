@@ -44,6 +44,11 @@ class PQTDatabase(NamedTuple):
     prefix: jax.Array       # (hash_size,) int32
     counts: jax.Array       # (hash_size,) int32
     payload: jax.Array      # (n, 2 + line_parts) int32, CSR order
+    pair_occ: Optional[jax.Array]  # (p//2, part_radix**2) uint8: 1 iff some
+                                   # DB vector carries that (part 2j, part
+                                   # 2j+1) code pair.  Lets the query prune
+                                   # provably-empty bins before the per-bin
+                                   # occupancy lookup (see query._enumerate_bins)
     vectors: Optional[jax.Array]  # (n, dim) raw vectors in ORIGINAL id order
                                   # (only for exact re-rank), or None
 
@@ -130,6 +135,22 @@ def encode_line_codes(cfg: PQTConfig, tree: PQTree, x: jax.Array):
     return build_line_codes(ld, tree.pair_dists)
 
 
+def _new_pair_occ(cfg: PQTConfig) -> Optional[np.ndarray]:
+    if not cfg.pair_filter_enabled:
+        return None
+    return np.zeros((cfg.p // 2, cfg.part_radix ** 2), np.uint8)
+
+
+def _update_pair_occ(cfg: PQTConfig, pair_occ: Optional[np.ndarray],
+                     part_codes: np.ndarray) -> None:
+    """Mark the (part 2j, part 2j+1) code pairs present in this chunk."""
+    if pair_occ is None:
+        return
+    r = cfg.part_radix
+    for j in range(cfg.p // 2):
+        pair_occ[j][part_codes[:, 2 * j] * r + part_codes[:, 2 * j + 1]] = 1
+
+
 def build_database(cfg: PQTConfig, tree: PQTree, data,
                    keep_vectors: bool = False,
                    encode_chunk: int = 65536) -> PQTDatabase:
@@ -143,15 +164,20 @@ def build_database(cfg: PQTConfig, tree: PQTree, data,
     bins = np.empty((n,), np.int32)
     codes = np.empty((n, cfg.line_parts), np.uint32)
     t3 = np.empty((n,), np.float32)
+    pair_occ = _new_pair_occ(cfg)
     for s in range(0, n, encode_chunk):
         e = min(n, s + encode_chunk)
         chunk = _pad_chunk(data[s:e], encode_chunk)
-        bins[s:e] = np.asarray(encode_bins(cfg, tree, chunk))[: e - s]
+        pc_dev = encode_part_codes(cfg, tree, chunk)
+        bins[s:e] = np.asarray(binning.hashed_bin_ids(
+            pc_dev, cfg.part_radix, cfg.hash_size))[: e - s]
+        _update_pair_occ(cfg, pair_occ, np.asarray(pc_dev)[: e - s])
         c_chunk, t_chunk = encode_line_codes(cfg, tree, chunk)
         codes[s:e] = np.asarray(c_chunk)[: e - s]
         t3[s:e] = np.asarray(t_chunk)[: e - s]
     return assemble_database(cfg, bins, codes, t3,
-                             vectors=data if keep_vectors else None)
+                             vectors=data if keep_vectors else None,
+                             pair_occ=pair_occ)
 
 
 def _pad_chunk(x: np.ndarray, size: int) -> jnp.ndarray:
@@ -166,7 +192,8 @@ def _pad_chunk(x: np.ndarray, size: int) -> jnp.ndarray:
 def assemble_database(cfg: PQTConfig, bin_ids: np.ndarray,
                       codes: np.ndarray, t3: np.ndarray,
                       vectors: Optional[np.ndarray] = None,
-                      id_offset: int = 0) -> PQTDatabase:
+                      id_offset: int = 0,
+                      pair_occ: Optional[np.ndarray] = None) -> PQTDatabase:
     """Host-side CSR assembly from encoded chunks.
 
     The host-side twin of the device CSR build; also the merge step for
@@ -184,6 +211,7 @@ def assemble_database(cfg: PQTConfig, bin_ids: np.ndarray,
         prefix=jnp.asarray(prefix),
         counts=jnp.asarray(counts),
         payload=jnp.asarray(native.gather_rows(packed, order)),
+        pair_occ=jnp.asarray(pair_occ) if pair_occ is not None else None,
         vectors=jnp.asarray(vectors) if vectors is not None else None,
     )
 
@@ -205,6 +233,7 @@ class ChunkedDBBuilder:
         self._codes = []
         self._t3 = []
         self._vecs = []
+        self._pair_occ = _new_pair_occ(cfg)
 
     def add_chunk(self, data: np.ndarray):
         data = np.asarray(data, np.float32)
@@ -215,8 +244,11 @@ class ChunkedDBBuilder:
         for s in range(0, n, self.encode_chunk):
             e = min(n, s + self.encode_chunk)
             chunk = _pad_chunk(data[s:e], self.encode_chunk)
-            bins[s:e] = np.asarray(
-                encode_bins(self.cfg, self.tree, chunk))[: e - s]
+            pc_dev = encode_part_codes(self.cfg, self.tree, chunk)
+            bins[s:e] = np.asarray(binning.hashed_bin_ids(
+                pc_dev, self.cfg.part_radix, self.cfg.hash_size))[: e - s]
+            _update_pair_occ(self.cfg, self._pair_occ,
+                             np.asarray(pc_dev)[: e - s])
             c_chunk, t_chunk = encode_line_codes(self.cfg, self.tree, chunk)
             codes[s:e] = np.asarray(c_chunk)[: e - s]
             t3[s:e] = np.asarray(t_chunk)[: e - s]
@@ -231,4 +263,5 @@ class ChunkedDBBuilder:
         codes = np.concatenate(self._codes)
         t3 = np.concatenate(self._t3)
         vecs = np.concatenate(self._vecs) if self._vecs else None
-        return assemble_database(self.cfg, bins, codes, t3, vectors=vecs)
+        return assemble_database(self.cfg, bins, codes, t3, vectors=vecs,
+                                 pair_occ=self._pair_occ)

@@ -80,7 +80,7 @@ def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
         dbs.append(PQTDatabase(
             prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
             payload=jnp.asarray(native.gather_rows(packed, order)),
-            vectors=None))
+            pair_occ=None, vectors=None))
     return MultiDatabase(databases=tuple(dbs))
 
 

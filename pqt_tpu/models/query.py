@@ -89,13 +89,26 @@ def _sorted_part_lists(cfg: PQTConfig, tree: PQTree, queries: jax.Array):
 
 
 def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
-                    bin_offset=None):
+                    bin_offset=None, pair_occ=None):
     """Traversal-sequence bin enumeration + occupancy compaction.
 
     `counts` may be a shard of the global occupancy table; `bin_offset`
     (traced scalar) is the global slot id of its first element — bins that
     fall outside the shard are treated as empty, which is exactly how a
     hash-range-sharded database partitions the probe work.
+
+    When `pair_occ` is given ((p//2, radix^2) uint8 presence of each
+    (part 2j, part 2j+1) code pair in the database), enumerated bins whose
+    pair codes are absent are pruned BEFORE the per-bin occupancy lookup.
+    Per-slot occupancy lookups are the pipeline's dominant cost on TPU
+    (row gathers pay per index), and the pair filter needs only
+    2 * base^2 tiny gathers per query + static one-hot matmuls, so pruning
+    first cuts the expensive gather from E to ~slack*max_bins indices.
+    A bin that passes both pair filters can still be empty (the parts may
+    never co-occur), so true occupancy is still checked for survivors; a
+    truly occupied bin always passes, so no reachable candidate is lost
+    (bins occupied purely by hash collisions are skipped — a precision win
+    over the reference's slot-count test, PerturbationProTree.cu:3374-3549).
 
     Returns (bins (B, max_bins) LOCAL slot ids, bin_counts (B, max_bins)).
     """
@@ -121,12 +134,44 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
         bin_ids = bin_ids - bin_offset
     in_range = (bin_ids >= 0) & (bin_ids < local_size)
     safe_ids = jnp.where(in_range, bin_ids, 0)
+
+    if pair_occ is not None and cfg.pair_filter_enabled:
+        r = cfg.part_radix
+        c16 = sorted_codes[:, :, :base]                      # (B, p, base)
+        passes = in_range
+        for j in range(p // 2):
+            # occupancy of every candidate (rank_a, rank_b) pair cell
+            pc = (c16[:, 2 * j, :, None] * r +
+                  c16[:, 2 * j + 1, None, :]).reshape(B, base * base)
+            occ_small = pair_occ[j][pc].astype(jnp.float32)  # (B, base^2)
+            # broadcast cell occupancy to enumeration slots: slot e reads
+            # cell (seq[e, 2j], seq[e, 2j+1]) — a STATIC map, so an MXU
+            # matmul with a constant one-hot instead of a (B, E) gather.
+            oh = np.zeros((base * base, n_enum), np.float32)
+            oh[seq[:, 2 * j] * base + seq[:, 2 * j + 1],
+               np.arange(n_enum)] = 1.0
+            mask_e = jnp.einsum(
+                "bc,ce->be", occ_small, jnp.asarray(oh),
+                preferred_element_type=jnp.float32) > 0.5
+            passes = passes & mask_e
+        # Stage 1: compact by the (cheap, conservative) pair filter.
+        m1 = min(n_enum, int(cfg.pair_filter_slack * cfg.max_bins))
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, n_enum), 1)
+        key = jnp.where(passes, pos, jnp.int32(n_enum))
+        key_s, bins_s = jax.lax.sort((key, safe_ids), dimension=-1,
+                                     num_keys=1)
+        bins1 = bins_s[:, :m1]
+        valid1 = key_s[:, :m1] < n_enum
+        # Stage 2: true occupancy for survivors only, then final compaction.
+        cnt1 = jnp.where(valid1, counts[jnp.where(valid1, bins1, 0)], 0)
+        return binning.compact_nonempty_bins(bins1, cnt1, cfg.max_bins)
+
     bin_counts = jnp.where(in_range, counts[safe_ids], 0)    # gather (B, E)
     return binning.compact_nonempty_bins(safe_ids, bin_counts, cfg.max_bins)
 
 
 def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
-               queries, k: int, bin_offset=None):
+               queries, k: int, bin_offset=None, pair_occ=None):
     """Shared single-shard query math over raw CSR arrays.
 
     prefix/counts are (local) occupancy tables (prefix rebased to the local
@@ -139,7 +184,7 @@ def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
     queries = queries.astype(jnp.float32)
     sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
     bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
-                                       bin_offset)
+                                       bin_offset, pair_occ)
     prefix_of_bins = prefix[bins]
     positions, valid = binning.gather_candidates(
         prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
@@ -171,7 +216,7 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
         assert db.vectors is not None, "exact rerank needs keep_vectors=True"
         sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
         bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
-                                           db.counts)
+                                           db.counts, pair_occ=db.pair_occ)
         prefix_of_bins = db.prefix[bins]
         positions, valid = binning.gather_candidates(
             prefix_of_bins, bin_counts, cfg.max_candidates,
@@ -192,7 +237,8 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
         n_cand = jnp.sum(valid, axis=-1)
     else:
         top_ids, top_dists, n_cand = query_core(
-            cfg, tree, db.prefix, db.counts, db.payload, queries, k)
+            cfg, tree, db.prefix, db.counts, db.payload, queries, k,
+            pair_occ=db.pair_occ)
         k_eff = min(k, cfg.max_candidates)
     if k_eff < k:    # requested more than the candidate budget: pad
         pad = k - k_eff

@@ -45,6 +45,9 @@ class ShardedDatabase(NamedTuple):
     counts: jax.Array       # (S, hash_size/S) int32
     payload: jax.Array      # (S, max_shard_n, 2+lp) int32, zero padded
     n_per_shard: jax.Array  # (S,) int32 true payload lengths
+    pair_occ: Optional[jax.Array]  # (p//2, radix^2) uint8, REPLICATED —
+                                   # global pair occupancy, a conservative
+                                   # prefilter for every shard
 
     @property
     def n_shards(self) -> int:
@@ -83,16 +86,23 @@ def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
     return ShardedDatabase(
         prefix=jnp.asarray(sh_prefix), counts=jnp.asarray(sh_counts),
         payload=jnp.asarray(sh_payload),
-        n_per_shard=jnp.asarray(lens, jnp.int32))
+        n_per_shard=jnp.asarray(lens, jnp.int32),
+        pair_occ=db.pair_occ)
 
 
 def place_sharded_db(sdb: ShardedDatabase, mesh: Mesh,
                      axis: str = "db") -> ShardedDatabase:
-    """Put each shard on its mesh row (leading axis sharded over `axis`)."""
+    """Put each shard on its mesh row (leading axis sharded over `axis`);
+    the pair-occupancy table is replicated."""
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
-    return ShardedDatabase(*[put(x) for x in sdb])
+    placed = {f: put(getattr(sdb, f))
+              for f in ("prefix", "counts", "payload", "n_per_shard")}
+    pair_occ = sdb.pair_occ
+    if pair_occ is not None:
+        pair_occ = jax.device_put(pair_occ, NamedSharding(mesh, P()))
+    return ShardedDatabase(pair_occ=pair_occ, **placed)
 
 
 def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
@@ -107,10 +117,13 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
     span = cfg.hash_size // mesh.shape[db_axis]
 
     q_spec = P(batch_axis) if batch_axis else P()
-    db_specs = ShardedDatabase(
-        prefix=P(db_axis, None), counts=P(db_axis, None),
-        payload=P(db_axis, None, None), n_per_shard=P(db_axis))
     out_spec = (P(batch_axis) if batch_axis else P(),) * 3
+
+    def make_db_specs(has_pair_occ: bool):
+        return ShardedDatabase(
+            prefix=P(db_axis, None), counts=P(db_axis, None),
+            payload=P(db_axis, None, None), n_per_shard=P(db_axis),
+            pair_occ=P() if has_pair_occ else None)
 
     def shard_fn(tree, sdb, queries):
         # Inside shard_map every leaf has its local block shape; the leading
@@ -119,7 +132,7 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
         bin_offset = shard_idx.astype(jnp.int32) * span
         ids, dists, ncand = query_core(
             cfg, tree, sdb.prefix[0], sdb.counts[0], sdb.payload[0],
-            queries, k, bin_offset=bin_offset)
+            queries, k, bin_offset=bin_offset, pair_occ=sdb.pair_occ)
         # Merge the per-shard top-k lists over the db axis.
         all_ids = jax.lax.all_gather(ids, db_axis)        # (S, B, k)
         all_dists = jax.lax.all_gather(dists, db_axis)
@@ -133,16 +146,27 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
         total_cand = jax.lax.psum(ncand, db_axis)
         return merged_ids, -neg_top, total_cand
 
-    mapped = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), db_specs, q_spec),
-        out_specs=out_spec,
-        check_vma=False)
+    mapped_cache = {}
 
-    @jax.jit
+    def get_mapped(has_pair_occ: bool):
+        if has_pair_occ not in mapped_cache:
+            mapped = jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), make_db_specs(has_pair_occ), q_spec),
+                out_specs=out_spec,
+                check_vma=False)
+
+            @jax.jit
+            def query_fn(tree, sdb, queries):
+                ids, dists, ncand = mapped(tree, sdb, queries)
+                return QueryResult(indices=ids, dists=dists,
+                                   n_candidates=ncand)
+
+            mapped_cache[has_pair_occ] = query_fn
+        return mapped_cache[has_pair_occ]
+
     def query_fn(tree, sdb, queries):
-        ids, dists, ncand = mapped(tree, sdb, queries)
-        return QueryResult(indices=ids, dists=dists, n_candidates=ncand)
+        return get_mapped(sdb.pair_occ is not None)(tree, sdb, queries)
 
     return query_fn
 
