@@ -105,10 +105,16 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
     2 * base^2 tiny gathers per query + static one-hot matmuls, so pruning
     first cuts the expensive gather from E to ~slack*max_bins indices.
     A bin that passes both pair filters can still be empty (the parts may
-    never co-occur), so true occupancy is still checked for survivors; a
-    truly occupied bin always passes, so no reachable candidate is lost
-    (bins occupied purely by hash collisions are skipped — a precision win
-    over the reference's slot-count test, PerturbationProTree.cu:3374-3549).
+    never co-occur), so true occupancy is still checked for survivors.
+    A truly occupied bin always passes the filter itself, but the stage-1
+    budget (`pair_filter_slack * max_bins` slots) can truncate late-ranked
+    survivors — the same kind of fixed-budget cut the unfiltered path
+    applies at max_bins.  With exact (unhashed) bin ids every nonempty bin
+    passes, so the filtered probe set is a PREFIX SUBSET of the unfiltered
+    one, identical when the slack budget covers the full enumeration.
+    With hashing, collision-only bins are additionally skipped — a
+    precision win over the reference's slot-count test
+    (PerturbationProTree.cu:3374-3549).
 
     Returns (bins (B, max_bins) LOCAL slot ids, bin_counts (B, max_bins)).
     """

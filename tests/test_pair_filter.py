@@ -1,11 +1,20 @@
 """Pair-occupancy bin prefilter: correctness vs the unfiltered path.
 
 With an exact (unhashed) bin id space, a bin is non-empty iff its own code
-tuple is present, so the pair filter (a necessary condition on the tuple)
-must never change which bins are probed — query results must be IDENTICAL
-with and without it.  With hashing it may additionally skip collision-only
-bins, which is covered by the recall tests in test_engine.py (SMALL_CFG has
-the filter enabled).
+tuple is present, so every probed bin passes the pair filter (a necessary
+condition on the tuple).  Two contracts follow (see
+query._enumerate_bins):
+
+  * when the stage-1 slack budget covers the full enumeration
+    (slack*max_bins >= bin_enum_factor*max_bins), the filter never changes
+    which bins are probed — results must be IDENTICAL;
+  * at any slack, the filtered probe set is a prefix subset of the
+    unfiltered one, so every filtered result id must appear in the
+    unfiltered candidate superset and n_candidates can only shrink.
+
+With hashing the filter may additionally skip collision-only bins, which
+is covered by the recall tests in test_engine.py (SMALL_CFG has the filter
+enabled).
 """
 
 import numpy as np
@@ -18,9 +27,13 @@ from pqt_tpu.models.query import query_knn
 from pqt_tpu.models.tree import train_tree
 
 # radix = c1*c2 = 16, radix**4 = 65536 == hash_size -> exact bin ids.
+# pair_filter_slack=4.0 makes the stage-1 budget (slack*max_bins = 1024)
+# cover the whole enumeration (bin_enum_factor*max_bins = 1024), which is
+# the regime where filtered == unfiltered is guaranteed.
 EXACT_CFG = PQTConfig(
     dim=32, p=4, c1=4, c2=4, line_parts=8, hash_size=1 << 16,
     k1_build=4, k1_query=4, max_bins=256, bin_enum_factor=4,
+    pair_filter_slack=4.0,
     max_candidates=1024, max_vec_per_bin=256, kmeans_iters=10)
 
 
@@ -58,6 +71,29 @@ def test_filtered_matches_unfiltered_exact_ids(built):
                                np.asarray(res_u.dists), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(res_f.n_candidates),
                                   np.asarray(res_u.n_candidates))
+
+
+def test_default_slack_is_prefix_subset(built):
+    """At the default (truncating) slack, filtered results are a subset of
+    the unfiltered candidate pool and the candidate count only shrinks."""
+    tree, db, _, queries = built
+    cfg = EXACT_CFG.replace(pair_filter_slack=1.5)
+    q = jnp.asarray(queries)
+    res_f = query_knn(cfg, tree, db, q, 10)
+    res_u = query_knn(cfg, tree, db._replace(pair_occ=None), q, 10)
+    assert np.all(np.asarray(res_f.n_candidates)
+                  <= np.asarray(res_u.n_candidates))
+    # every filtered hit must be an unfiltered hit with the same distance
+    # rank-or-better is hard to assert directly; subset of the top-k pool
+    # with k = max_candidates captures the prefix-subset contract.
+    res_u_all = query_knn(cfg, tree, db._replace(pair_occ=None), q,
+                          cfg.max_candidates)
+    u_ids = np.asarray(res_u_all.indices)
+    f_ids = np.asarray(res_f.indices)
+    for b in range(f_ids.shape[0]):
+        got = set(int(i) for i in f_ids[b] if i >= 0)
+        sup = set(int(i) for i in u_ids[b] if i >= 0)
+        assert got <= sup
 
 
 def test_pair_filter_can_be_disabled(clustered_data):
