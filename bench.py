@@ -42,6 +42,8 @@ def main():
     import jax.numpy as jnp
 
     import pqt_tpu as P
+    from pqt_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from pqt_tpu.ops.distance import brute_force_knn
     from pqt_tpu.utils.metrics import recall_at
 

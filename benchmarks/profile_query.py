@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import pqt_tpu as P
+from pqt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 from pqt_tpu.models import query as Q
 from pqt_tpu.models.tree import level1_tables, level2_tables, line_tables
 from pqt_tpu.ops import binning
@@ -46,9 +48,14 @@ def main():
 
     hash_size = max(1 << 18, 1 << (n - 1).bit_length())
     cfg = P.SIFT1M_CONFIG.replace(kmeans_iters=6, hash_size=hash_size)
+    t0 = time.time()
     tree = P.train_tree(cfg, data[:100_000])
+    jax.block_until_ready(tree.cb2)
+    print(f"train {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
     db = P.build_database(cfg, tree, data, encode_chunk=1 << 17)
-    print(f"n={n} batch={batch} device={jax.devices()[0]}")
+    print(f"build {time.time() - t0:.1f}s", flush=True)
+    print(f"n={n} batch={batch} device={jax.devices()[0]}", flush=True)
 
     qf = queries.astype(jnp.float32)
 

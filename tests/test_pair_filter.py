@@ -83,13 +83,17 @@ def test_default_slack_is_prefix_subset(built):
     res_u = query_knn(cfg, tree, db._replace(pair_occ=None), q, 10)
     assert np.all(np.asarray(res_f.n_candidates)
                   <= np.asarray(res_u.n_candidates))
-    # every filtered hit must be an unfiltered hit with the same distance
-    # rank-or-better is hard to assert directly; subset of the top-k pool
+    # Every filtered hit must be an unfiltered hit with the same distance.
+    # Rank-or-better is hard to assert directly; subset of the top-k pool
     # with k = max_candidates captures the prefix-subset contract.
     res_u_all = query_knn(cfg, tree, db._replace(pair_occ=None), q,
                           cfg.max_candidates)
     u_ids = np.asarray(res_u_all.indices)
     f_ids = np.asarray(res_f.indices)
+    # Guard against a vacuous pass: a regression that zeroed out the
+    # filtered path would return no valid ids, and the empty set is a
+    # subset of anything.
+    assert (f_ids >= 0).any(axis=1).all()
     for b in range(f_ids.shape[0]):
         got = set(int(i) for i in f_ids[b] if i >= 0)
         sup = set(int(i) for i in u_ids[b] if i >= 0)
