@@ -60,6 +60,21 @@ class PQTConfig:
                                     # getKVectorIDsKernel dedups, its Fast
                                     # production path does not
                                     # (PerturbationProTree.cu:3780,4307).
+    # --- pair pipeline (TPU-first enumeration; see models/query.py) --------
+    pipeline: str = "pair"     # "pair": exact per-pair ordering + 2D traversal
+                               #   (one probe-table gather per bin, compact
+                               #   payload) — the TPU-tuned default;
+                               # "parts": per-part ranks + p-dim traversal,
+                               #   shaped like the reference's selectBinKernel.
+    pair_top_m: int = 256      # pair candidates kept per part-pair (stage 1)
+    enum_width: int = 0        # bins enumerated before the occupancy probe
+                               # (0 = bin_enum_factor * max_bins)
+    # --- payload layout ------------------------------------------------------
+    payload_compact: bool = True  # 16-bit line codes (A,B in 4 bits each,
+                                  # lambda in 8) when c1 <= 16: 40-byte rows
+                                  # instead of 72 — row gathers are byte-priced
+    lambda_bits: int = 16      # lambda codec width in the WIDE payload format
+                               # (the compact format always uses 8)
 
     # --- training -----------------------------------------------------------
     kmeans_init: str = "kmeans++"  # "kmeans++" (better coverage) or "lbg"
@@ -110,6 +125,27 @@ class PQTConfig:
         return (self.pair_filter and self.p % 2 == 0
                 and self.part_radix ** 2 <= self.pair_filter_max_table)
 
+    @property
+    def payload_is_compact(self) -> bool:
+        """Whether the 16-bit-per-line-part payload layout applies."""
+        return self.payload_compact and self.c1 <= 16
+
+    @property
+    def effective_lambda_bits(self) -> int:
+        return 8 if self.payload_is_compact else self.lambda_bits
+
+    @property
+    def pair_pipeline_enabled(self) -> bool:
+        """Whether the pair enumeration pipeline applies to this shape."""
+        return self.pipeline == "pair" and self.p in (2, 4)
+
+    @property
+    def effective_enum_width(self) -> int:
+        e = self.enum_width or self.bin_enum_factor * self.max_bins
+        if self.pair_pipeline_enabled:
+            e = min(e, self.pair_top_m ** 2, 65536)
+        return e
+
     def __post_init__(self):
         if self.dim % self.p != 0:
             raise ValueError(f"dim ({self.dim}) must be divisible by p ({self.p})")
@@ -125,6 +161,10 @@ class PQTConfig:
             raise ValueError("k1_query (W) must be <= c1")
         if self.k1_build > self.c1:
             raise ValueError("k1_build must be <= c1")
+        if self.pipeline not in ("pair", "parts"):
+            raise ValueError(f"unknown pipeline {self.pipeline!r}")
+        if self.lambda_bits not in (8, 16):
+            raise ValueError("lambda_bits must be 8 or 16")
         if (self.part_radix ** self.p > self.hash_size
                 and self.hash_size & (self.hash_size - 1) != 0):
             # When bin ids must be hashed down, the table size must be a

@@ -78,7 +78,7 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
 
 
 def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
-    from pqt_tpu.models.db import pack_payload
+    from pqt_tpu.models.db import pack_payload, payload_width
 
     with np.load(path, allow_pickle=False) as z:
         _check_config(str(z["config"]), cfg, _DB_FIELDS)
@@ -88,13 +88,19 @@ def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
         else:   # format v1 stored ids/codes/t3 separately
             payload = pack_payload(z["ids"], z["codes"], z["t3"])
         pair_occ = jnp.asarray(z["pair_occ"]) if "pair_occ" in z else None
+        prefix = np.asarray(z["prefix"])
+        counts = np.asarray(z["counts"])
+        prefix2 = np.stack([prefix, prefix + counts], axis=1)
         db = PQTDatabase(
-            prefix=jnp.asarray(z["prefix"]), counts=jnp.asarray(z["counts"]),
-            payload=jnp.asarray(payload), pair_occ=pair_occ, vectors=vectors)
+            prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
+            payload=jnp.asarray(payload), pair_occ=pair_occ, vectors=vectors,
+            prefix2=jnp.asarray(prefix2))
     if db.prefix.shape[0] != cfg.hash_size:
         raise ArtifactMismatch("hash table size mismatch")
-    if db.payload.shape[1] != 2 + cfg.line_parts:
-        raise ArtifactMismatch("line_parts mismatch in payload")
+    if db.payload.shape[1] != payload_width(cfg):
+        raise ArtifactMismatch(
+            f"payload width {db.payload.shape[1]} != {payload_width(cfg)} "
+            "(line_parts / payload_compact mismatch)")
     return db
 
 

@@ -35,15 +35,22 @@ class PQTDatabase(NamedTuple):
 
     The per-vector payload (id, t3, line codes) lives in ONE packed int32
     row per vector, in CSR order: column 0 = original id, column 1 = the f32
-    t3 term bit-cast to int32, columns 2.. = the packed uint32 line codes.
-    Query-time candidate collection then needs a single wide row gather
-    instead of three narrow ones — XLA row gathers on TPU cost per INDEX,
-    not per byte, so this is ~2x faster (replaces the reference's separate
-    .dbIdx/.lines reads, tool_query.cpp:118-144).
+    t3 term bit-cast to int32, columns 2.. = the line codes.  Query-time
+    candidate collection then needs a single row gather instead of three
+    narrow ones — and XLA row gathers on TPU cost ~10ns per index plus
+    ~0.3ns per BYTE, so the row is kept as narrow as the config allows
+    (replaces the reference's separate .dbIdx/.lines reads,
+    tool_query.cpp:118-144).  Two layouts (models/db.py payload helpers):
+
+      wide    (2 + lp columns): one uint32 per line part, the reference's
+              code_t bit layout (p1 | p2<<8 | lambda_u16<<16);
+      compact (2 + ceil(lp/2) columns, when c1 <= 16): 16 bits per line part
+              (A | B<<4 | lambda_u8<<8), two parts per int32 — 40-byte rows
+              at lp=16 instead of 72.
     """
     prefix: jax.Array       # (hash_size,) int32
     counts: jax.Array       # (hash_size,) int32
-    payload: jax.Array      # (n, 2 + line_parts) int32, CSR order
+    payload: jax.Array      # (n, payload_width(cfg)) int32, CSR order
     pair_occ: Optional[jax.Array]  # (p//2, part_radix**2) uint8: 1 iff some
                                    # DB vector carries that (part 2j, part
                                    # 2j+1) code pair.  Lets the query prune
@@ -51,6 +58,11 @@ class PQTDatabase(NamedTuple):
                                    # occupancy lookup (see query._enumerate_bins)
     vectors: Optional[jax.Array]  # (n, dim) raw vectors in ORIGINAL id order
                                   # (only for exact re-rank), or None
+    prefix2: Optional[jax.Array] = None  # (hash_size, 2) int32 (start, end)
+                                         # CSR extents: ONE row gather yields
+                                         # both the offset and the count of a
+                                         # probed bin (the query path's probe
+                                         # table; see query._probe_bins)
 
     @property
     def n_vectors(self) -> int:
@@ -66,15 +78,16 @@ class PQTDatabase(NamedTuple):
         """(n,) float32 query-independent line-code term, CSR order."""
         return jax.lax.bitcast_convert_type(self.payload[:, 1], jnp.float32)
 
-    @property
-    def codes(self) -> jax.Array:
-        """(n, line_parts) packed uint32 line codes, CSR order."""
-        return jax.lax.bitcast_convert_type(self.payload[:, 2:], jnp.uint32)
+
+def payload_width(cfg: PQTConfig) -> int:
+    """Number of int32 columns in a payload row under `cfg`'s layout."""
+    lp = cfg.line_parts
+    return 2 + ((lp + 1) // 2 if cfg.payload_is_compact else lp)
 
 
 def pack_payload(ids: np.ndarray, codes: np.ndarray,
                  t3: np.ndarray) -> np.ndarray:
-    """Host-side packing of (ids, line codes, t3) into payload rows."""
+    """Host-side packing of (ids, u32 line codes, t3) into WIDE payload rows."""
     n = ids.shape[0]
     out = np.empty((n, 2 + codes.shape[1]), np.int32)
     out[:, 0] = ids
@@ -83,13 +96,68 @@ def pack_payload(ids: np.ndarray, codes: np.ndarray,
     return out
 
 
+def pack_payload_compact(ids: np.ndarray, codes: np.ndarray,
+                         t3: np.ndarray) -> np.ndarray:
+    """Compact layout: 16 bits per line part (A | B<<4 | lambda_u8<<8).
+
+    codes: (n, lp) uint32 in the wide bit layout with lambda already
+    quantized to the u8 grid (build_line_codes(lambda_bits=8)).
+    """
+    n, lp = codes.shape
+    a = codes & np.uint32(0xF)                    # c1 <= 16 → 4 bits
+    b = (codes >> 8) & np.uint32(0xF)
+    lam8 = (codes >> 24) & np.uint32(0xFF)        # high byte of lambda_u16
+    part16 = (a | (b << 4) | (lam8 << 8)).astype(np.uint32)
+    if lp % 2:
+        part16 = np.concatenate(
+            [part16, np.zeros((n, 1), np.uint32)], axis=1)
+    merged = (part16[:, 0::2] | (part16[:, 1::2] << 16)).astype(np.uint32)
+    out = np.empty((n, 2 + merged.shape[1]), np.int32)
+    out[:, 0] = ids
+    out[:, 1] = np.ascontiguousarray(t3, np.float32).view(np.int32)
+    out[:, 2:] = merged.view(np.int32)
+    return out
+
+
+def pack_payload_cfg(cfg: PQTConfig, ids: np.ndarray, codes: np.ndarray,
+                     t3: np.ndarray) -> np.ndarray:
+    if cfg.payload_is_compact:
+        return pack_payload_compact(ids, codes, t3)
+    return pack_payload(ids, codes, t3)
+
+
 def unpack_payload(rows: jax.Array):
-    """(..., 2+lp) int32 payload rows -> (ids (...,), codes (..., lp) uint32,
-    t3 (...,) float32)."""
+    """WIDE (..., 2+lp) int32 payload rows -> (ids (...,),
+    codes (..., lp) uint32, t3 (...,) float32)."""
     ids = rows[..., 0]
     t3 = jax.lax.bitcast_convert_type(rows[..., 1], jnp.float32)
     codes = jax.lax.bitcast_convert_type(rows[..., 2:], jnp.uint32)
     return ids, codes, t3
+
+
+def unpack_payload_cfg(cfg: PQTConfig, rows: jax.Array):
+    """Payload rows -> (ids, a_idx, b_idx, lam, t3) under either layout.
+
+    a_idx/b_idx: (..., lp) int32 centroid indices; lam: (..., lp) float32.
+    """
+    from pqt_tpu.ops import triangle
+    from pqt_tpu.ops.linecodes import unpack_codes
+
+    ids = rows[..., 0]
+    t3 = jax.lax.bitcast_convert_type(rows[..., 1], jnp.float32)
+    if not cfg.payload_is_compact:
+        codes = jax.lax.bitcast_convert_type(rows[..., 2:], jnp.uint32)
+        a, b, lam = unpack_codes(codes)
+        return ids, a, b, lam, t3
+    merged = jax.lax.bitcast_convert_type(rows[..., 2:], jnp.uint32)
+    lo = merged & jnp.uint32(0xFFFF)
+    hi = merged >> jnp.uint32(16)
+    part16 = jnp.stack([lo, hi], axis=-1).reshape(
+        rows.shape[:-1] + (-1,))[..., :cfg.line_parts]
+    a = (part16 & jnp.uint32(0xF)).astype(jnp.int32)
+    b = ((part16 >> jnp.uint32(4)) & jnp.uint32(0xF)).astype(jnp.int32)
+    lam = triangle.u8_to_lambda((part16 >> jnp.uint32(8)) & jnp.uint32(0xFF))
+    return ids, a, b, lam, t3
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -130,9 +198,11 @@ def encode_bins(cfg: PQTConfig, tree: PQTree, x: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(0,))
 def encode_line_codes(cfg: PQTConfig, tree: PQTree, x: jax.Array):
     """((n, line_parts) packed uint32 codes, (n,) f32 t3 term)
-    (lineDist equivalent)."""
+    (lineDist equivalent).  Lambda is quantized to the configured codec
+    width so t3 agrees with the stored payload."""
     ld = line_tables(cfg, tree, x)                       # (n, lp, c1)
-    return build_line_codes(ld, tree.pair_dists)
+    return build_line_codes(ld, tree.pair_dists,
+                            lambda_bits=cfg.effective_lambda_bits)
 
 
 def _new_pair_occ(cfg: PQTConfig) -> Optional[np.ndarray]:
@@ -204,15 +274,18 @@ def assemble_database(cfg: PQTConfig, bin_ids: np.ndarray,
     from pqt_tpu.io import native
     counts, prefix, order = native.build_csr(bin_ids, cfg.hash_size)
     # Pack in input order, then ONE wide native row-gather into CSR order.
-    packed = pack_payload(
+    packed = pack_payload_cfg(
+        cfg,
         np.arange(id_offset, id_offset + bin_ids.shape[0], dtype=np.int32),
         codes, t3)
+    prefix2 = np.stack([prefix, prefix + counts], axis=1)
     return PQTDatabase(
         prefix=jnp.asarray(prefix),
         counts=jnp.asarray(counts),
         payload=jnp.asarray(native.gather_rows(packed, order)),
         pair_occ=jnp.asarray(pair_occ) if pair_occ is not None else None,
         vectors=jnp.asarray(vectors) if vectors is not None else None,
+        prefix2=jnp.asarray(prefix2),
     )
 
 

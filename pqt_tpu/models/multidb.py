@@ -25,12 +25,12 @@ import numpy as np
 
 from pqt_tpu.config import PQTConfig
 from pqt_tpu.models.db import (PQTDatabase, _pad_chunk, encode_line_codes,
-                               encode_part_codes, unpack_payload)
+                               encode_part_codes, unpack_payload_cfg)
 from pqt_tpu.models.query import (QueryResult, _mask_duplicate_candidates,
                                   _sorted_part_lists)
 from pqt_tpu.models.tree import PQTree, line_tables
 from pqt_tpu.ops import binning, distseq
-from pqt_tpu.ops.linecodes import reconstruct_dists
+from pqt_tpu.ops.linecodes import reconstruct_dists_idx
 
 
 class MultiDatabase(NamedTuple):
@@ -69,8 +69,8 @@ def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
         t3[s:e] = np.asarray(t_chunk)[: e - s]
 
     from pqt_tpu.io import native
-    from pqt_tpu.models.db import pack_payload
-    packed = pack_payload(np.arange(n, dtype=np.int32), codes, t3)
+    from pqt_tpu.models.db import pack_payload_cfg
+    packed = pack_payload_cfg(cfg, np.arange(n, dtype=np.int32), codes, t3)
     dbs = []
     for gi in range(g):
         sub = part_codes[:, gi * group_parts:(gi + 1) * group_parts]
@@ -80,7 +80,8 @@ def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
         dbs.append(PQTDatabase(
             prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
             payload=jnp.asarray(native.gather_rows(packed, order)),
-            pair_occ=None, vectors=None))
+            pair_occ=None, vectors=None,
+            prefix2=jnp.asarray(np.stack([prefix, prefix + counts], axis=1))))
     return MultiDatabase(databases=tuple(dbs))
 
 
@@ -126,7 +127,7 @@ def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
     per_bins = max(cfg.max_bins // g, 1)
     per_cand = max(cfg.max_candidates // g, 1)
 
-    all_ids, all_codes, all_t3, all_valid = [], [], [], []
+    all_ids, all_a, all_b, all_lam, all_t3, all_valid = [], [], [], [], [], []
     for gi, db in enumerate(mdb.databases):
         bins, bin_counts = _group_bins(cfg, sorted_d2, sorted_codes,
                                        db.counts, gp, gi, per_bins)
@@ -134,19 +135,24 @@ def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
         positions, valid = binning.gather_candidates(
             prefix_of_bins, bin_counts, per_cand, cfg.max_vec_per_bin)
         safe_pos = jnp.where(valid, positions, 0)
-        g_ids, g_codes, g_t3 = unpack_payload(db.payload[safe_pos])
+        g_ids, g_a, g_b, g_lam, g_t3 = unpack_payload_cfg(
+            cfg, db.payload[safe_pos])
         all_ids.append(g_ids)
-        all_codes.append(g_codes)
+        all_a.append(g_a)
+        all_b.append(g_b)
+        all_lam.append(g_lam)
         all_t3.append(g_t3)
         all_valid.append(valid)
 
     cand_ids = jnp.concatenate(all_ids, axis=1)
-    cand_codes = jnp.concatenate(all_codes, axis=1)
+    cand_a = jnp.concatenate(all_a, axis=1)
+    cand_b = jnp.concatenate(all_b, axis=1)
+    cand_lam = jnp.concatenate(all_lam, axis=1)
     cand_t3 = jnp.concatenate(all_t3, axis=1)
     valid = jnp.concatenate(all_valid, axis=1)
 
     q_line = line_tables(cfg, tree, queries)
-    dists = reconstruct_dists(cand_codes, q_line, cand_t3)
+    dists = reconstruct_dists_idx(cand_a, cand_b, cand_lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
     # cross-group duplicates are expected; always dedup here.
     dists = _mask_duplicate_candidates(cand_ids, valid, dists)

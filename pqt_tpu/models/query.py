@@ -34,7 +34,7 @@ from pqt_tpu.models.db import PQTDatabase
 from pqt_tpu.models.tree import (PQTree, level1_tables, level2_tables,
                                  line_tables)
 from pqt_tpu.ops import binning, distseq
-from pqt_tpu.ops.linecodes import reconstruct_dists
+from pqt_tpu.ops.linecodes import reconstruct_dists, reconstruct_dists_idx
 
 
 def _mask_duplicate_candidates(cand_ids, valid, dists):
@@ -176,6 +176,193 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
     return binning.compact_nonempty_bins(safe_ids, bin_counts, cfg.max_bins)
 
 
+# ---------------------------------------------------------------------------
+# Pair pipeline ("pair"): the TPU-tuned enumeration.
+#
+# Gathers on TPU cost ~10ns per index + ~0.3ns per byte and dominate the
+# query; the reference-shaped path spends three of them per enumerated bin
+# (count, prefix, payload).  This pipeline restructures the probe so that
+#   * bin ordering is computed with matmuls/top-k only (exact within each
+#     part-PAIR, a 2D traversal across the two pairs — the same shape as the
+#     reference's 2D BIG path, PerturbationProTree.cu:2839-3188, but with
+#     exact pair ordering instead of the anisotropic heuristic);
+#   * bin ids come from COMPOSING per-pair partial hash terms (the mixing
+#     hash is a sum over parts, so pair partials add) — no per-bin gather;
+#   * occupancy + CSR offset is ONE row gather from the (hash, 2) extent
+#     table (prefix2);
+#   * candidates are ONE row gather from the compact payload.
+# ---------------------------------------------------------------------------
+
+
+def _part_hash_weights(cfg: PQTConfig):
+    """(p,) uint32 per-part weights s.t. bin id pre-image = sum_j w_j*code_j.
+
+    Matches ops/binning.py exactly: exact mixed radix when the unhashed
+    space fits the table, multiplicative mixing otherwise.
+    """
+    r = cfg.part_radix
+    if r ** cfg.p <= cfg.hash_size and r ** cfg.p <= 2 ** 31:
+        w = [r ** (cfg.p - 1 - j) for j in range(cfg.p)]
+        return np.asarray(w, np.uint32), True
+    mix = binning._MIX_MULTIPLIERS
+    return np.asarray([mix[j % len(mix)] for j in range(cfg.p)],
+                      np.uint32), False
+
+
+def _finalize_bin_ids(cfg: PQTConfig, acc: jax.Array,
+                      exact: bool) -> jax.Array:
+    """uint32 partial-sum -> int32 bin slot id (binning.hashed_bin_ids tail)."""
+    if exact:
+        return acc.astype(jnp.int32)
+    acc = acc * jnp.uint32(2654435761)
+    shift = 32 - int(np.log2(cfg.hash_size))
+    return (acc >> jnp.uint32(shift)).astype(jnp.int32)
+
+
+def _pair_stage(cfg: PQTConfig, tree: PQTree, queries: jax.Array,
+                pair_occ=None):
+    """Per part-pair: the pair_top_m best (l1,l2)x(l1,l2) combinations.
+
+    Returns (d_pairs (B, p/2, M) ascending sums, h_pairs (B, p/2, M) uint32
+    partial bin terms).  Stage 1 of the pair pipeline: exact (approx_max_k)
+    ordering within each pair, the analog of selectBinKernel2D2Parts
+    (PerturbationProTree.cu:2914-3012) with true distance ordering.
+
+    When `pair_occ` is given, pairs absent from the database get +inf
+    distance so they sort behind every live pair (stage-2 then rarely
+    enumerates them) — the pair-occupancy prefilter applied at the cheapest
+    possible point (M indices per pair instead of per enumerated bin).
+    """
+    W = cfg.k1_query
+    d1 = level1_tables(cfg, tree, queries)               # (B, p, c1)
+    d2 = level2_tables(cfg, tree, queries)               # (B, p, c1, c2)
+    _, l1_idx = jax.lax.top_k(-d1, W)                    # (B, p, W)
+    cand_d2 = jnp.take_along_axis(d2, l1_idx[..., None], axis=2)
+    B, p = cand_d2.shape[:2]
+    L = W * cfg.c2
+    flat_d2 = cand_d2.reshape(B, p, L)
+    codes = (l1_idx[..., None] * cfg.c2 +
+             jnp.arange(cfg.c2, dtype=jnp.int32)).reshape(B, p, L)
+    weights, exact = _part_hash_weights(cfg)
+    M = min(cfg.pair_top_m, L * L)
+    r = cfg.part_radix
+
+    d_pairs, h_pairs = [], []
+    for j in range(p // 2):
+        a, b = 2 * j, 2 * j + 1
+        s = (flat_d2[:, a, :, None] + flat_d2[:, b, None, :]).reshape(B, -1)
+        h = (codes[:, a, :, None].astype(jnp.uint32) * jnp.uint32(weights[a])
+             + codes[:, b, None, :].astype(jnp.uint32)
+             * jnp.uint32(weights[b])).reshape(B, -1)
+        neg, idx = jax.lax.approx_max_k(-s, M)
+        d = -neg
+        h_sel = jnp.take_along_axis(h, idx.astype(jnp.int32), axis=-1)
+        if pair_occ is not None and cfg.pair_filter_enabled:
+            pc = (codes[:, a, :, None] * r +
+                  codes[:, b, None, :]).reshape(B, -1)
+            pc_sel = jnp.take_along_axis(pc, idx.astype(jnp.int32), axis=-1)
+            occ = pair_occ[j][pc_sel]
+            d = jnp.where(occ > 0, d, jnp.inf)
+        d_s, h_s = jax.lax.sort((d, h_sel), dimension=-1, num_keys=1)
+        d_pairs.append(d_s)
+        h_pairs.append(h_s)
+    return (jnp.stack(d_pairs, axis=1), jnp.stack(h_pairs, axis=1),
+            exact)
+
+
+def _enumerate_bins_pair(cfg: PQTConfig, h_pairs: jax.Array,
+                         exact: bool) -> jax.Array:
+    """Stage 2: 2D traversal over the two sorted pair lists -> bin slot ids.
+
+    h_pairs: (B, n_pairs, M) uint32 partial terms, ascending by pair
+    distance.  The traversal rank lookup rides the MXU as one-hot matmuls on
+    the u16 halves of the partials (u32 does not fit f32 exactly; u16 does),
+    so NO gather touches the (B, E) enumeration.  Analog of
+    selectBinKernel2DFinal (PerturbationProTree.cu:3012-3188).
+    """
+    B, n_pairs, M = h_pairs.shape
+    E = min(cfg.effective_enum_width, M * M if n_pairs == 2 else M)
+    if n_pairs == 1:
+        return _finalize_bin_ids(cfg, h_pairs[:, 0, :E], exact)
+    assert n_pairs == 2, "pair pipeline supports p in (2, 4)"
+    seq = distseq.pair_sequence(M, E)                     # (E, 2)
+    onehots = []
+    for col in range(2):
+        oh = np.zeros((E, M), np.float32)
+        oh[np.arange(E), seq[:, col]] = 1.0
+        onehots.append(jnp.asarray(oh))
+    hi = (h_pairs >> jnp.uint32(16)).astype(jnp.float32)   # (B, 2, M)
+    lo = (h_pairs & jnp.uint32(0xFFFF)).astype(jnp.float32)
+
+    def pick(x, col):
+        return jnp.einsum("bm,em->be", x[:, col], onehots[col],
+                          preferred_element_type=jnp.float32)
+
+    hi_sum = (pick(hi, 0) + pick(hi, 1)).astype(jnp.uint32)
+    lo_sum = (pick(lo, 0) + pick(lo, 1)).astype(jnp.uint32)
+    acc = (hi_sum << jnp.uint32(16)) + lo_sum              # mod 2^32 exact
+    return _finalize_bin_ids(cfg, acc, exact)
+
+
+def _probe_bins(cfg: PQTConfig, bins: jax.Array, prefix2: jax.Array,
+                bin_offset=None):
+    """Occupancy probe + compaction: ONE extent-row gather per enumerated bin.
+
+    bins: (B, E) slot ids.  prefix2: (local_hash, 2) int32 (start, end).
+    Returns (start (B, max_bins), count (B, max_bins)) of the first max_bins
+    non-empty probed bins, in enumeration order.
+    """
+    B, E = bins.shape
+    local = prefix2.shape[0]
+    if bin_offset is not None:
+        bins = bins - bin_offset
+    in_range = (bins >= 0) & (bins < local)
+    safe = jnp.where(in_range, bins, 0)
+    ext = prefix2[safe]                                    # (B, E, 2) gather
+    start = ext[..., 0]
+    cnt = jnp.where(in_range, ext[..., 1] - ext[..., 0], 0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, E), 1)
+    key = jnp.where(cnt > 0, pos, jnp.int32(E))
+    _, start_s, cnt_s = jax.lax.sort((key, start, cnt), dimension=-1,
+                                     num_keys=1)
+    nb = min(cfg.max_bins, E)
+    return start_s[:, :nb], cnt_s[:, :nb]
+
+
+def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
+                    queries, k: int, bin_offset=None, pair_occ=None,
+                    want_candidates: bool = False):
+    """Single-shard pair-pipeline query math over raw CSR arrays.
+
+    Returns (cand_ids (B, k), dists (B, k), n_candidates (B,)); -1 ids mark
+    missing results.  With want_candidates=True, returns the full candidate
+    set (B, max_candidates) before top-k instead (for exact re-rank).
+    """
+    from pqt_tpu.models.db import unpack_payload_cfg
+
+    queries = queries.astype(jnp.float32)
+    d_pairs, h_pairs, exact = _pair_stage(cfg, tree, queries, pair_occ)
+    bins = _enumerate_bins_pair(cfg, h_pairs, exact)
+    start, cnt = _probe_bins(cfg, bins, prefix2, bin_offset)
+    positions, valid = binning.gather_candidates(
+        start, cnt, cfg.max_candidates, cfg.max_vec_per_bin)
+    safe_pos = jnp.where(valid, positions, 0)
+    rows = payload[safe_pos]                               # (B, K, W) gather
+    cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(cfg, rows)
+    q_line = line_tables(cfg, tree, queries)               # (B, lp, c1)
+    dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
+    dists = jnp.where(valid, dists, jnp.inf)
+    if cfg.dedup_candidates:
+        dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+    if want_candidates:
+        return cand_ids, dists, jnp.sum(valid, axis=-1)
+    k_eff = min(k, cfg.max_candidates)
+    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+    return top_ids, -neg_top, jnp.sum(valid, axis=-1)
+
+
 def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
                queries, k: int, bin_offset=None, pair_occ=None):
     """Shared single-shard query math over raw CSR arrays.
@@ -185,7 +372,7 @@ def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
     (see PQTDatabase).  Returns (cand_ids (B, k), dists (B, k),
     n_candidates (B,)) with line re-ranking; -1 ids mark missing results.
     """
-    from pqt_tpu.models.db import unpack_payload
+    from pqt_tpu.models.db import unpack_payload_cfg
 
     queries = queries.astype(jnp.float32)
     sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
@@ -195,9 +382,10 @@ def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
     positions, valid = binning.gather_candidates(
         prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
     safe_pos = jnp.where(valid, positions, 0)
-    cand_ids, cand_codes, cand_t3 = unpack_payload(payload[safe_pos])
+    cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(
+        cfg, payload[safe_pos])
     q_line = line_tables(cfg, tree, queries)          # (B, lp, c1)
-    dists = reconstruct_dists(cand_codes, q_line, cand_t3)
+    dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
@@ -220,16 +408,24 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     queries = queries.astype(jnp.float32)
     if exact_rerank:
         assert db.vectors is not None, "exact rerank needs keep_vectors=True"
-        sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
-        bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
-                                           db.counts, pair_occ=db.pair_occ)
-        prefix_of_bins = db.prefix[bins]
-        positions, valid = binning.gather_candidates(
-            prefix_of_bins, bin_counts, cfg.max_candidates,
-            cfg.max_vec_per_bin)
-        safe_pos = jnp.where(valid, positions, 0)
-        cand_ids = db.payload[safe_pos, 0]            # (B, K)
-        cand_vecs = db.vectors[cand_ids]              # (B, K, dim), by orig id
+        if cfg.pair_pipeline_enabled:
+            cand_ids, line_d, _ = query_core_pair(
+                cfg, tree, db.prefix2, db.payload, queries, k,
+                pair_occ=db.pair_occ, want_candidates=True)
+            valid = jnp.isfinite(line_d)
+        else:
+            sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+            bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
+                                               db.counts,
+                                               pair_occ=db.pair_occ)
+            prefix_of_bins = db.prefix[bins]
+            positions, valid = binning.gather_candidates(
+                prefix_of_bins, bin_counts, cfg.max_candidates,
+                cfg.max_vec_per_bin)
+            safe_pos = jnp.where(valid, positions, 0)
+            cand_ids = db.payload[safe_pos, 0]        # (B, K)
+        safe_ids = jnp.where(valid, cand_ids, 0)
+        cand_vecs = db.vectors[safe_ids]              # (B, K, dim), by orig id
         diff = cand_vecs - queries[:, None, :]
         dists = jnp.sum(diff * diff, axis=-1)
         dists = jnp.where(valid, dists, jnp.inf)
@@ -242,9 +438,14 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
         top_dists = -neg_top
         n_cand = jnp.sum(valid, axis=-1)
     else:
-        top_ids, top_dists, n_cand = query_core(
-            cfg, tree, db.prefix, db.counts, db.payload, queries, k,
-            pair_occ=db.pair_occ)
+        if cfg.pair_pipeline_enabled:
+            top_ids, top_dists, n_cand = query_core_pair(
+                cfg, tree, db.prefix2, db.payload, queries, k,
+                pair_occ=db.pair_occ)
+        else:
+            top_ids, top_dists, n_cand = query_core(
+                cfg, tree, db.prefix, db.counts, db.payload, queries, k,
+                pair_occ=db.pair_occ)
         k_eff = min(k, cfg.max_candidates)
     if k_eff < k:    # requested more than the candidate budget: pad
         pad = k - k_eff

@@ -34,7 +34,7 @@ from pqt_tpu.models.query import (QueryResult, _mask_duplicate_candidates,
                                   _sorted_part_lists)
 from pqt_tpu.models.tree import PQTree, line_tables
 from pqt_tpu.ops import binning
-from pqt_tpu.ops.linecodes import reconstruct_dists
+from pqt_tpu.ops.linecodes import reconstruct_dists_idx
 
 
 def _pair_merge(cfg: PQTConfig, sorted_d2, sorted_codes, n_intermediate):
@@ -98,7 +98,7 @@ def query_big_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
                    queries, k: int, n_intermediate: int = 256,
                    bin_offset=None):
     """Single-shard BIG query math (line re-rank)."""
-    from pqt_tpu.models.db import unpack_payload
+    from pqt_tpu.models.db import unpack_payload_cfg
 
     queries = queries.astype(jnp.float32)
     sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
@@ -110,9 +110,10 @@ def query_big_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
     positions, valid = binning.gather_candidates(
         prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
     safe_pos = jnp.where(valid, positions, 0)
-    cand_ids, cand_codes, cand_t3 = unpack_payload(payload[safe_pos])
+    cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(
+        cfg, payload[safe_pos])
     q_line = line_tables(cfg, tree, queries)
-    dists = reconstruct_dists(cand_codes, q_line, cand_t3)
+    dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)

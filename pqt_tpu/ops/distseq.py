@@ -69,6 +69,36 @@ def static_sequence(base: int, parts: int, length: int = NUM_DISTSEQ,
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def pair_sequence(m: int, length: int, key: str = "sqrt") -> np.ndarray:
+    """Traversal over rank pairs {0..m-1}^2 in approximately-increasing order.
+
+    The 2-axis analog of static_sequence WITHOUT the base-16 clamp: the pair
+    pipeline enumerates over two per-part-PAIR rank axes (each rank indexes an
+    exactly-sorted pair list), so m up to ~256 is both useful and enumerable
+    (m^2 tuples).  Mirrors the role of the reference's 2D bin selection
+    (PerturbationProTree.cu:2839-3188) with the isotropic key.
+
+    Returns (length, 2) int32, zero-padded past m*m.
+    """
+    n = m * m
+    i = np.arange(n, dtype=np.int64)
+    x = i // m
+    y = i % m
+    if key == "sqrt":
+        score = np.sqrt(x.astype(np.float64)) + np.sqrt(y.astype(np.float64))
+    elif key == "linear":
+        score = (x + y).astype(np.float64)
+    else:
+        raise ValueError(f"unknown key {key!r}")
+    order = np.argsort(score, kind="stable")
+    out = np.zeros((length, 2), dtype=np.int32)
+    take = min(n, length)
+    out[:take, 0] = x[order[:take]].astype(np.int32)
+    out[:take, 1] = y[order[:take]].astype(np.int32)
+    return out
+
+
 @functools.lru_cache(maxsize=8)
 def aniso_2d_sequences(base: int, length: int = NUM_DISTSEQ,
                        n_dir: int = NUM_ANISO_DIR,

@@ -38,7 +38,8 @@ def unpack_codes(packed: jax.Array):
     return a, b, triangle.u16_to_lambda(lam_u16)
 
 
-def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array):
+def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array,
+                     lambda_bits: int = 16):
     """Choose the best (A, B, lambda) per (vector, line-part).
 
     Args:
@@ -46,8 +47,12 @@ def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array):
         L1 centroid segments (subpart_sqdist_tables of the DB vectors).
       pair_dists: (lp, c1, c1) squared distances between centroid segments
         (centroid_pair_sqdist).
+      lambda_bits: lambda codec width (16 = reference codec; 8 = the compact
+        payload's grid).  t3 is computed from the DECODED lambda at this
+        width so build- and query-side terms agree bit-for-bit.
     Returns:
-      (packed (n, lp) uint32 codes,
+      (packed (n, lp) uint32 codes — lambda in the HIGH 16 bits on the u16
+       grid regardless of width, so unpack_codes always applies,
        t3 (n,) float32 query-independent correction term — see
        reconstruct_dists).
 
@@ -71,7 +76,12 @@ def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array):
     best_b = best % c1
     lam_best = jnp.take_along_axis(
         lam.reshape(n, lp, c1 * c1), best[..., None], axis=-1)[..., 0]
-    lam_u16 = triangle.lambda_to_u16(lam_best)
+    if lambda_bits == 8:
+        # quantize on the u8 sub-grid of the u16 codec (multiples of 256)
+        lam_u16 = (triangle.lambda_to_u8(lam_best).astype(jnp.uint16)
+                   << jnp.uint16(8))
+    else:
+        lam_u16 = triangle.lambda_to_u16(lam_best)
     packed = pack_codes(best_a, best_b, lam_u16)
     # t3 must use the DECODED lambda so build- and query-side terms agree.
     lam_q = triangle.u16_to_lambda(lam_u16)
@@ -120,10 +130,20 @@ def reconstruct_dists(codes: jax.Array, query_part_dists: jax.Array,
     (pure fused VPU work) instead of 16M-element gathers from tiny tables,
     which XLA lowers poorly on TPU (~40x slower).
     """
-    Bq, K, lp = codes.shape
-    c1 = query_part_dists.shape[-1]
     a_idx, b_idx, lam = unpack_codes(codes)    # each (B, K, lp)
+    return reconstruct_dists_idx(a_idx, b_idx, lam, query_part_dists, t3)
 
+
+def reconstruct_dists_idx(a_idx: jax.Array, b_idx: jax.Array,
+                          lam: jax.Array, query_part_dists: jax.Array,
+                          t3: jax.Array) -> jax.Array:
+    """reconstruct_dists on already-unpacked (A, B, lambda) components.
+
+    a_idx, b_idx: (B, K, lp) int32; lam: (B, K, lp) float32;
+    query_part_dists: (B, lp, c1); t3: (B, K).
+    """
+    Bq, K, lp = a_idx.shape
+    c1 = query_part_dists.shape[-1]
     one_minus_lam = 1.0 - lam
     acc = jnp.zeros((Bq, K, lp), jnp.float32)
     for a in range(c1):

@@ -33,6 +33,23 @@ def u16_to_lambda(u):
     return u.astype(jnp.float32) * (1.0 / _LAMBDA_SCALE) + _LAMBDA_LO
 
 
+def lambda_to_u8(lam):
+    """Encode lambda to 8 bits (the compact-payload codec).
+
+    Not in the reference (which always spends 16 bits, triangle.cuh:6);
+    quantizes on the u16 grid (multiples of 256) so u8 and u16 decoders
+    agree exactly on representable values.  Step = 8/256 = 0.03125, which is
+    far below the line-quantization model error itself.
+    """
+    u16 = lambda_to_u16(lam).astype(jnp.int32)
+    return jnp.minimum((u16 + 128) >> 8, 255).astype(jnp.uint8)
+
+
+def u8_to_lambda(u):
+    """Decode the 8-bit lambda code."""
+    return (u.astype(jnp.float32) * 256.0) * (1.0 / _LAMBDA_SCALE) + _LAMBDA_LO
+
+
 def project(a2, b2, c2, eps=1e-20):
     """Fraction lambda at which C projects onto AB (triangle.cuh:79-81).
 

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pqt_tpu.config import PQTConfig
 from pqt_tpu.models.db import PQTDatabase
-from pqt_tpu.models.query import QueryResult, query_core
+from pqt_tpu.models.query import QueryResult, query_core, query_core_pair
 from pqt_tpu.models.tree import PQTree
 
 
@@ -43,6 +43,8 @@ class ShardedDatabase(NamedTuple):
     """
     prefix: jax.Array       # (S, hash_size/S) int32, rebased to local payload
     counts: jax.Array       # (S, hash_size/S) int32
+    prefix2: jax.Array      # (S, hash_size/S, 2) int32 rebased (start, end)
+                            # CSR extents (the pair pipeline's probe table)
     payload: jax.Array      # (S, max_shard_n, 2+lp) int32, zero padded
     n_per_shard: jax.Array  # (S,) int32 true payload lengths
     pair_occ: Optional[jax.Array]  # (p//2, radix^2) uint8, REPLICATED —
@@ -77,14 +79,18 @@ def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
 
     sh_prefix = np.empty((n_shards, span), np.int32)
     sh_counts = np.empty((n_shards, span), np.int32)
+    sh_prefix2 = np.empty((n_shards, span, 2), np.int32)
     sh_payload = np.zeros((n_shards, max_n, payload.shape[1]), np.int32)
     sh_payload[:, :, 0] = -1          # id column: -1 marks padding
     for s in range(n_shards):
         sh_prefix[s] = prefix[s * span:(s + 1) * span] - starts[s]
         sh_counts[s] = counts[s * span:(s + 1) * span]
+        sh_prefix2[s, :, 0] = sh_prefix[s]
+        sh_prefix2[s, :, 1] = sh_prefix[s] + sh_counts[s]
         sh_payload[s, :lens[s]] = payload[starts[s]:ends[s]]
     return ShardedDatabase(
         prefix=jnp.asarray(sh_prefix), counts=jnp.asarray(sh_counts),
+        prefix2=jnp.asarray(sh_prefix2),
         payload=jnp.asarray(sh_payload),
         n_per_shard=jnp.asarray(lens, jnp.int32),
         pair_occ=db.pair_occ)
@@ -98,7 +104,8 @@ def place_sharded_db(sdb: ShardedDatabase, mesh: Mesh,
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
     placed = {f: put(getattr(sdb, f))
-              for f in ("prefix", "counts", "payload", "n_per_shard")}
+              for f in ("prefix", "counts", "prefix2", "payload",
+                        "n_per_shard")}
     pair_occ = sdb.pair_occ
     if pair_occ is not None:
         pair_occ = jax.device_put(pair_occ, NamedSharding(mesh, P()))
@@ -122,6 +129,7 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
     def make_db_specs(has_pair_occ: bool):
         return ShardedDatabase(
             prefix=P(db_axis, None), counts=P(db_axis, None),
+            prefix2=P(db_axis, None, None),
             payload=P(db_axis, None, None), n_per_shard=P(db_axis),
             pair_occ=P() if has_pair_occ else None)
 
@@ -130,9 +138,14 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
         # shard axis of the db leaves is size 1 here.
         shard_idx = jax.lax.axis_index(db_axis)
         bin_offset = shard_idx.astype(jnp.int32) * span
-        ids, dists, ncand = query_core(
-            cfg, tree, sdb.prefix[0], sdb.counts[0], sdb.payload[0],
-            queries, k, bin_offset=bin_offset, pair_occ=sdb.pair_occ)
+        if cfg.pair_pipeline_enabled:
+            ids, dists, ncand = query_core_pair(
+                cfg, tree, sdb.prefix2[0], sdb.payload[0],
+                queries, k, bin_offset=bin_offset, pair_occ=sdb.pair_occ)
+        else:
+            ids, dists, ncand = query_core(
+                cfg, tree, sdb.prefix[0], sdb.counts[0], sdb.payload[0],
+                queries, k, bin_offset=bin_offset, pair_occ=sdb.pair_occ)
         # Merge the per-shard top-k lists over the db axis.
         all_ids = jax.lax.all_gather(ids, db_axis)        # (S, B, k)
         all_dists = jax.lax.all_gather(dists, db_axis)

@@ -107,8 +107,8 @@ def test_chunked_build_matches_single_shot(trained):
     np.testing.assert_array_equal(np.asarray(db.counts),
                                   np.asarray(db2.counts))
     np.testing.assert_array_equal(np.asarray(db.ids), np.asarray(db2.ids))
-    np.testing.assert_array_equal(np.asarray(db.codes),
-                                  np.asarray(db2.codes))
+    np.testing.assert_array_equal(np.asarray(db.payload),
+                                  np.asarray(db2.payload))
 
 
 def test_candidate_budget_respected(trained):

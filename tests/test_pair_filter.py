@@ -30,10 +30,13 @@ from pqt_tpu.models.tree import train_tree
 # pair_filter_slack=4.0 makes the stage-1 budget (slack*max_bins = 1024)
 # cover the whole enumeration (bin_enum_factor*max_bins = 1024), which is
 # the regime where filtered == unfiltered is guaranteed.
+# pipeline="parts": this module tests the PARTS path's slack-budget filter
+# contract specifically (the pair pipeline applies the filter at stage 1
+# instead; its contract is covered by tests/test_pair_pipeline.py).
 EXACT_CFG = PQTConfig(
     dim=32, p=4, c1=4, c2=4, line_parts=8, hash_size=1 << 16,
     k1_build=4, k1_query=4, max_bins=256, bin_enum_factor=4,
-    pair_filter_slack=4.0,
+    pair_filter_slack=4.0, pipeline="parts",
     max_candidates=1024, max_vec_per_bin=256, kmeans_iters=10)
 
 
