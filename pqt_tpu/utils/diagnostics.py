@@ -1,0 +1,120 @@
+"""Build/query diagnostics: ground-truth bin probes + quantization stats.
+
+Equivalents of the reference's introspection paths:
+  * gtBins: for each query, the bin its true NN landed in, cached to disk,
+    and the probe position at which the query pipeline would visit that bin
+    (test/test1B.cpp:154-189 locateAll + :948-978 .gtBins cache;
+    PerturbationProTree.cu:8416-8454 "ground truth bin found at position");
+  * calcStatistics: bin-rank diagnostics of the encoder
+    (ProQuantization.cu:1171-1412);
+  * quantization-error stats: min/max/avg line-code residual and lambda
+    range (treequantizer.hpp:393-409, cpu_version/tools/build_db.cpp:49-52).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pqt_tpu.config import PQTConfig
+from pqt_tpu.models.db import encode_bins, encode_line_codes
+from pqt_tpu.models.tree import PQTree, line_tables
+from pqt_tpu.ops.linecodes import reconstruct_dists
+
+
+def ground_truth_bins(cfg: PQTConfig, tree: PQTree, gt_vectors,
+                      cache_path: Optional[str] = None) -> np.ndarray:
+    """Bin slot id of each ground-truth vector, optionally disk-cached.
+
+    The reference computes these once per dataset and caches them in a
+    .gtBins file (test1B.cpp:948-978); pass `cache_path` for the same
+    load-if-exists behavior.
+    """
+    if cache_path and os.path.exists(cache_path):
+        cached = np.load(cache_path)
+        if cached.shape[0] == np.asarray(gt_vectors).shape[0]:
+            return cached
+    bins = np.asarray(encode_bins(cfg, tree, jnp.asarray(
+        np.asarray(gt_vectors, np.float32))))
+    if cache_path:
+        np.save(cache_path, bins)
+    return bins
+
+
+def gt_bin_probe_positions(cfg: PQTConfig, tree: PQTree, queries,
+                           gt_bins: np.ndarray) -> np.ndarray:
+    """Probe position at which each query's ground-truth bin is enumerated.
+
+    Returns (B,) int32: index into the enumeration order (BEFORE occupancy
+    compaction), or -1 if the bin is never enumerated within the budget —
+    the queryBIGKNN diagnostic (PerturbationProTree.cu:8416-8454) that
+    separates "probe misses the bin" from "re-ranking loses the vector".
+    """
+    from pqt_tpu.models import query as Q
+
+    queries = jnp.asarray(np.asarray(queries, np.float32))
+    if cfg.pair_pipeline_enabled:
+        _, h_pairs, exact = Q._pair_stage(cfg, tree, queries)
+        bins = np.asarray(Q._enumerate_bins_pair(cfg, h_pairs, exact))
+    else:
+        sorted_d2, sorted_codes = Q._sorted_part_lists(cfg, tree, queries)
+        E = cfg.effective_enum_width
+        # parts path: reuse the enumeration einsum via a huge-count table so
+        # nothing is filtered (counts=1 everywhere)
+        ones = jnp.ones((cfg.hash_size,), jnp.int32)
+        bins_j, _ = Q._enumerate_bins(
+            cfg.replace(max_bins=E, bin_enum_factor=1), sorted_d2,
+            sorted_codes, ones)
+        bins = np.asarray(bins_j)
+    B, E = bins.shape
+    out = np.full((B,), -1, np.int32)
+    for b in range(B):
+        hits = np.nonzero(bins[b] == gt_bins[b])[0]
+        if hits.size:
+            out[b] = int(hits[0])
+    return out
+
+
+def quantization_stats(cfg: PQTConfig, tree: PQTree,
+                       sample_vectors) -> Dict[str, float]:
+    """Line-quantization error statistics over a sample of DB vectors.
+
+    Reports the min/max/mean relative reconstruction error of the line-code
+    distance model against exact distances on perturbed copies, plus the
+    lambda range actually used — the build_db stats of the CPU reference
+    (cpu_version/tools/build_db.cpp:49-52, treequantizer.hpp:393-409).
+    """
+    x = np.asarray(sample_vectors, np.float32)
+    n = x.shape[0]
+    rng = np.random.default_rng(0)
+    # pseudo-queries: OTHER sample vectors (typical inter-point distances;
+    # a perturbed-copy probe would divide by near-zero exact distances and
+    # report meaningless relative errors)
+    q = x[(np.arange(n) + 1) % n]
+
+    codes, t3 = encode_line_codes(cfg, tree, jnp.asarray(x))
+    q_line = line_tables(cfg, tree, jnp.asarray(q))        # (n, lp, c1)
+    approx = np.asarray(reconstruct_dists(
+        jnp.asarray(codes)[:, None, :], q_line, jnp.asarray(t3)[:, None])
+    )[:, 0]
+    exact = ((q - x) ** 2).sum(axis=1)
+    # normalize by the POPULATION distance scale: per-pair division blows up
+    # on near-duplicate pairs and reports nothing about the code quality
+    scale = max(float(exact.mean()), 1e-6)
+    rel = np.abs(approx - exact) / scale
+    lam_u16 = (np.asarray(codes) >> 16) & 0xFFFF
+    lam = lam_u16.astype(np.float32) / 8192.0 - 4.0
+    return {
+        "rel_err_mean": float(rel.mean()),
+        "rel_err_max": float(rel.max()),
+        "rel_err_min": float(rel.min()),
+        "lambda_min": float(lam.min()),
+        "lambda_max": float(lam.max()),
+        "lambda_mean": float(lam.mean()),
+        "n_sample": int(n),
+    }
