@@ -66,8 +66,10 @@ def main():
     gt = np.asarray(gt)
     print("gt done", flush=True)
 
-    t, _ = timeit(jax.jit(
-        lambda q: brute_force_knn_fast(q, dbd, 100)[1]), queries)
+    # NOT re-jitted: a fresh jit would close over the 512MB database and
+    # embed it as an HLO constant (the remote compile service rejects it);
+    # eager dispatch matches what bench.py measures.
+    t, _ = timeit(lambda q: brute_force_knn_fast(q, dbd, 100)[1], queries)
     print(f"brute: {t:8.2f} ms  {batch/t*1000:9.0f} QPS", flush=True)
 
     points = [
@@ -86,8 +88,9 @@ def main():
     ]
     for name, kw in points:
         cfg = base.replace(**kw)
-        f = jax.jit(lambda q, cfg=cfg: P.query_knn(cfg, tree, db, q, 100)
-                    .indices)
+        # query_knn is already jitted with tree/db as ARGUMENTS (pytrees),
+        # so nothing large lands in the compiled program as a constant.
+        f = lambda q, cfg=cfg: P.query_knn(cfg, tree, db, q, 100).indices
         t, ids = timeit(f, queries)
         rec = recall_at(np.asarray(ids), gt, ks=(1, 10, 100))
         print(f"{name:<18} {t:8.2f} ms  {batch/t*1000:9.0f} QPS  "
