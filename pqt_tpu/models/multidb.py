@@ -100,7 +100,8 @@ def _group_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
            np.arange(n_enum)[None, :], seq.T] = 1.0
     codes16 = codes_g[:, :, :base].astype(jnp.float32)
     part_codes = jnp.einsum("bpr,per->bpe", codes16, jnp.asarray(onehot),
-                            preferred_element_type=jnp.float32
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
                             ).astype(jnp.int32)
     bin_ids = binning.hashed_bin_ids(
         jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)

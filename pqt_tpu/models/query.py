@@ -132,7 +132,8 @@ def _enumerate_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
     codes16 = sorted_codes[:, :, :base].astype(jnp.float32)
     part_codes = jnp.einsum(
         "bpr,per->bpe", codes16, jnp.asarray(onehot),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     bin_ids = binning.hashed_bin_ids(
         jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)
     local_size = counts.shape[0]
@@ -295,8 +296,12 @@ def _enumerate_bins_pair(cfg: PQTConfig, h_pairs: jax.Array,
     lo = (h_pairs & jnp.uint32(0xFFFF)).astype(jnp.float32)
 
     def pick(x, col):
+        # HIGHEST precision: the operands are exact u16 integers in f32, and
+        # TPU's default matmul pass truncates inputs to bf16 (integer-exact
+        # only up to 2^8) — the hash bits MUST survive the matmul exactly.
         return jnp.einsum("bm,em->be", x[:, col], onehots[col],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     hi_sum = (pick(hi, 0) + pick(hi, 1)).astype(jnp.uint32)
     lo_sum = (pick(lo, 0) + pick(lo, 1)).astype(jnp.uint32)
