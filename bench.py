@@ -70,9 +70,12 @@ def main():
                     max(1 << 18, 1 << (n - 1).bit_length()))
     max_bins = int(os.environ.get("PQT_BENCH_MAX_BINS", 512))
     max_cand = int(os.environ.get("PQT_BENCH_MAX_CAND", 1024))
+    pair_m = int(os.environ.get("PQT_BENCH_PAIR_M", 128))
+    enum_w = int(os.environ.get("PQT_BENCH_ENUM", 2 * max_bins))
     cfg = P.SIFT1M_CONFIG.replace(
         kmeans_iters=8, train_subsample=100_000, hash_size=hash_size,
-        max_bins=max_bins, max_candidates=max_cand)
+        max_bins=max_bins, max_candidates=max_cand,
+        pair_top_m=pair_m, enum_width=enum_w)
 
     t0 = time.time()
     tree = P.train_tree(cfg, db_vecs[:200_000])

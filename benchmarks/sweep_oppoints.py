@@ -44,10 +44,12 @@ def main():
         os.path.abspath(__file__))))
     from bench import make_sift_like
     data = make_sift_like(n, dim, rng)
-    q_src = rng.integers(0, n, batch)
-    queries = jnp.asarray(np.clip(
-        data[q_src] + rng.normal(0, 6.0, (batch, dim)),
+    n_q = max(batch, 1024)           # recall over >= 1024 queries
+    q_src = rng.integers(0, n, n_q)
+    queries_all = jnp.asarray(np.clip(
+        data[q_src] + rng.normal(0, 6.0, (n_q, dim)),
         0, 255).round().astype(np.float32))
+    queries = queries_all[:batch]
 
     hash_size = min(P.SIFT1M_CONFIG.hash_size,
                     max(1 << 18, 1 << (n - 1).bit_length()))
@@ -62,7 +64,7 @@ def main():
     print(f"build {time.time()-t0:.1f}s", flush=True)
 
     dbd = jnp.asarray(data)
-    _, gt = brute_force_knn(queries, dbd, 100, batch=batch)
+    _, gt = brute_force_knn(queries_all, dbd, 100, batch=batch)
     gt = np.asarray(gt)
     print("gt done", flush=True)
 
@@ -73,27 +75,34 @@ def main():
     print(f"brute: {t:8.2f} ms  {batch/t*1000:9.0f} QPS", flush=True)
 
     points = [
-        ("parity-4096/4096", dict(max_bins=4096, max_candidates=4096,
-                                  pair_top_m=256, enum_width=16384)),
-        ("2048/2048", dict(max_bins=2048, max_candidates=2048,
-                           pair_top_m=256, enum_width=6144)),
-        ("1024/1024", dict(max_bins=1024, max_candidates=1024,
-                           pair_top_m=256, enum_width=3072)),
-        ("1024/2048", dict(max_bins=1024, max_candidates=2048,
-                           pair_top_m=256, enum_width=3072)),
-        ("512/1024", dict(max_bins=512, max_candidates=1024,
-                          pair_top_m=128, enum_width=1536)),
-        ("512/512", dict(max_bins=512, max_candidates=512,
-                         pair_top_m=128, enum_width=1536)),
+        ("512/1024 m128 e1024", dict(max_bins=512, max_candidates=1024,
+                                     pair_top_m=128, enum_width=1024)),
+        ("512/768 m128 e1024", dict(max_bins=512, max_candidates=768,
+                                    pair_top_m=128, enum_width=1024)),
+        ("512/896 m128 e1024", dict(max_bins=512, max_candidates=896,
+                                    pair_top_m=128, enum_width=1024)),
+        ("512/1024 m128 e768", dict(max_bins=512, max_candidates=1024,
+                                    pair_top_m=128, enum_width=768)),
+        ("512/1024 m96 e1024", dict(max_bins=512, max_candidates=1024,
+                                    pair_top_m=96, enum_width=1024)),
+        ("512/1024 m128 e1024 W12", dict(max_bins=512, max_candidates=1024,
+                                         pair_top_m=128, enum_width=1024,
+                                         k1_query=12)),
+        ("512/1024 m128 e1024 W16", dict(max_bins=512, max_candidates=1024,
+                                         pair_top_m=128, enum_width=1024,
+                                         k1_query=16)),
     ]
     for name, kw in points:
         cfg = base.replace(**kw)
         # query_knn is already jitted with tree/db as ARGUMENTS (pytrees),
         # so nothing large lands in the compiled program as a constant.
         f = lambda q, cfg=cfg: P.query_knn(cfg, tree, db, q, 100).indices
-        t, ids = timeit(f, queries)
-        rec = recall_at(np.asarray(ids), gt, ks=(1, 10, 100))
-        print(f"{name:<18} {t:8.2f} ms  {batch/t*1000:9.0f} QPS  "
+        t, _ = timeit(f, queries)
+        ids = np.concatenate([
+            np.asarray(f(queries_all[s:s + batch]))
+            for s in range(0, n_q, batch)])
+        rec = recall_at(ids, gt, ks=(1, 10, 100))
+        print(f"{name:<26} {t:8.2f} ms  {batch/t*1000:9.0f} QPS  "
               f"R@1={rec['R@1']:.4f} R@10={rec['R@10']:.4f} "
               f"R@100={rec['R@100']:.4f}", flush=True)
 

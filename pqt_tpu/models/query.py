@@ -252,17 +252,19 @@ def _pair_stage(cfg: PQTConfig, tree: PQTree, queries: jax.Array,
     for j in range(p // 2):
         a, b = 2 * j, 2 * j + 1
         s = (flat_d2[:, a, :, None] + flat_d2[:, b, None, :]).reshape(B, -1)
-        h = (codes[:, a, :, None].astype(jnp.uint32) * jnp.uint32(weights[a])
-             + codes[:, b, None, :].astype(jnp.uint32)
-             * jnp.uint32(weights[b])).reshape(B, -1)
         neg, idx = jax.lax.approx_max_k(-s, M)
         d = -neg
-        h_sel = jnp.take_along_axis(h, idx.astype(jnp.int32), axis=-1)
+        # Recover the two parts' codes of each selected pair from idx
+        # directly ((B, M) gathers from the (B, L) code lists) instead of
+        # materializing (B, L*L) code/hash grids like the distance grid —
+        # the grids cost 2 full uint32 passes over L^2 per pair.
+        idx = idx.astype(jnp.int32)
+        ca_sel = jnp.take_along_axis(codes[:, a, :], idx // L, axis=-1)
+        cb_sel = jnp.take_along_axis(codes[:, b, :], idx % L, axis=-1)
+        h_sel = (ca_sel.astype(jnp.uint32) * jnp.uint32(weights[a])
+                 + cb_sel.astype(jnp.uint32) * jnp.uint32(weights[b]))
         if pair_occ is not None and cfg.pair_filter_enabled:
-            pc = (codes[:, a, :, None] * r +
-                  codes[:, b, None, :]).reshape(B, -1)
-            pc_sel = jnp.take_along_axis(pc, idx.astype(jnp.int32), axis=-1)
-            occ = pair_occ[j][pc_sel]
+            occ = pair_occ[j][ca_sel * r + cb_sel]
             d = jnp.where(occ > 0, d, jnp.inf)
         d_s, h_s = jax.lax.sort((d, h_sel), dimension=-1, num_keys=1)
         d_pairs.append(d_s)
