@@ -52,12 +52,23 @@ def main():
     cfg = P.SIFT1M_CONFIG.replace(
         kmeans_iters=8, train_subsample=100_000, hash_size=hash_size,
         max_bins=512, max_candidates=1024)
+    from pqt_tpu.io import artifacts
+    cache_dir = os.environ.get("PQT_PROFILE_CACHE", "/tmp/pqt_profile_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    tree_path = os.path.join(cache_dir, f"tree_n{n}")
+    db_path = os.path.join(cache_dir, f"db_n{n}")
     t0 = time.time()
-    tree = P.train_tree(cfg, data[:200_000])
+    tree = artifacts.load_or_build(
+        tree_path, lambda p: artifacts.load_tree(p, cfg),
+        lambda: P.train_tree(cfg, data[:200_000]),
+        lambda p, t: artifacts.save_tree(p, cfg, t))
     jax.block_until_ready(tree.cb2)
     print(f"train {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
-    db = P.build_database(cfg, tree, data, encode_chunk=1 << 17)
+    db = artifacts.load_or_build(
+        db_path, lambda p: artifacts.load_database(p, cfg),
+        lambda: P.build_database(cfg, tree, data, encode_chunk=1 << 17),
+        lambda p, d: artifacts.save_database(p, cfg, d))
     print(f"build {time.time() - t0:.1f}s", flush=True)
     print(f"n={n} batch={batch} max_bins={cfg.max_bins} "
           f"max_cand={cfg.max_candidates} enum={cfg.effective_enum_width} "

@@ -32,6 +32,12 @@ class ArtifactMismatch(RuntimeError):
     """Stored artifact parameters disagree with the requested config."""
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends .npz to suffix-less paths; normalize once here so
+    save/load/load_or_build all agree on the on-disk name."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def _check_config(stored_json: str, cfg: PQTConfig, fields):
     stored = json.loads(stored_json)
     mine = json.loads(cfg.to_json())
@@ -49,12 +55,12 @@ _DB_FIELDS = _TREE_FIELDS + ("hash_size",)
 
 def save_tree(path: str, cfg: PQTConfig, tree: PQTree) -> None:
     np.savez_compressed(
-        path, __version__=_FORMAT_VERSION, config=cfg.to_json(),
+        _npz_path(path), __version__=_FORMAT_VERSION, config=cfg.to_json(),
         cb1=np.asarray(tree.cb1), cb2=np.asarray(tree.cb2))
 
 
 def load_tree(path: str, cfg: PQTConfig) -> PQTree:
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         _check_config(str(z["config"]), cfg, _TREE_FIELDS)
         cb1 = jnp.asarray(z["cb1"])
         cb2 = jnp.asarray(z["cb2"])
@@ -74,13 +80,13 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
         arrays["pair_occ"] = np.asarray(db.pair_occ)
     if db.vectors is not None:
         arrays["vectors"] = np.asarray(db.vectors)
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(_npz_path(path), **arrays)
 
 
 def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
     from pqt_tpu.models.db import pack_payload, payload_width
 
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         _check_config(str(z["config"]), cfg, _DB_FIELDS)
         vectors = jnp.asarray(z["vectors"]) if "vectors" in z else None
         if "payload" in z:
@@ -107,7 +113,7 @@ def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
 def load_or_build(path: str, loader: Callable, builder: Callable,
                   saver: Callable):
     """The reference's compute-or-load idiom (testPPQT.cpp:283-290)."""
-    if os.path.exists(path):
+    if os.path.exists(path) or os.path.exists(_npz_path(path)):
         return loader(path)
     obj = builder()
     saver(path, obj)
