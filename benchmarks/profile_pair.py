@@ -42,7 +42,7 @@ def main():
     dim = 128
     rng = np.random.default_rng(0)
     from bench import make_sift_like
-    data = make_sift_like(n, dim, rng)
+    data, _ = make_sift_like(n, dim, rng)
     queries = jnp.asarray(np.clip(
         data[rng.integers(0, n, batch)] + rng.normal(0, 6, (batch, dim)),
         0, 255).round().astype(np.float32))

@@ -43,7 +43,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from bench import make_sift_like
-    data = make_sift_like(n, dim, rng)
+    data, _ = make_sift_like(n, dim, rng)
     n_q = max(batch, 1024)           # recall over >= 1024 queries
     q_src = rng.integers(0, n, n_q)
     queries_all = jnp.asarray(np.clip(

@@ -69,6 +69,10 @@ class PQTConfig:
     pair_top_m: int = 256      # pair candidates kept per part-pair (stage 1)
     enum_width: int = 0        # bins enumerated before the occupancy probe
                                # (0 = bin_enum_factor * max_bins)
+    enum_width_cap: int = 65536  # hard ceiling on enumerated bins per query
+                                 # ((B, E) working arrays scale with it; raise
+                                 # it for small batches if a huge single-shard
+                                 # probe budget is really wanted)
     # --- payload layout ------------------------------------------------------
     payload_compact: bool = True  # 16-bit line codes (A,B in 4 bits each,
                                   # lambda in 8) when c1 <= 16: 40-byte rows
@@ -143,7 +147,7 @@ class PQTConfig:
     def effective_enum_width(self) -> int:
         e = self.enum_width or self.bin_enum_factor * self.max_bins
         if self.pair_pipeline_enabled:
-            e = min(e, self.pair_top_m ** 2, 65536)
+            e = min(e, self.pair_top_m ** 2, self.enum_width_cap)
         return e
 
     def __post_init__(self):
@@ -165,6 +169,25 @@ class PQTConfig:
             raise ValueError(f"unknown pipeline {self.pipeline!r}")
         if self.lambda_bits not in (8, 16):
             raise ValueError("lambda_bits must be 8 or 16")
+        if self.pipeline == "pair" and self.p in (2, 4):
+            # NO SILENT CAPS: a probe budget the pair pipeline cannot
+            # enumerate (pair_top_m**2 stage-1 survivors, enum_width_cap
+            # working-set ceiling) must be called out at config time —
+            # the r2 SIFT1B config silently served 65,536 of a requested
+            # 524,288 bins.  For genuinely huge budgets, shard the database
+            # (per-shard budgets add up) or raise pair_top_m/enum_width_cap.
+            requested = self.enum_width or self.bin_enum_factor * self.max_bins
+            cap = min(self.pair_top_m ** 2, self.enum_width_cap)
+            if requested > cap or self.max_bins > cap:
+                import warnings
+                warnings.warn(
+                    f"probe budget truncated: max_bins={self.max_bins}, "
+                    f"enum request={requested}, but the pair pipeline can "
+                    f"enumerate at most {cap} bins/query "
+                    f"(pair_top_m**2={self.pair_top_m ** 2}, "
+                    f"enum_width_cap={self.enum_width_cap}); queries will "
+                    f"probe at most {min(cap, self.max_bins)} bins",
+                    stacklevel=2)
         if (self.part_radix ** self.p > self.hash_size
                 and self.hash_size & (self.hash_size - 1) != 0):
             # When bin ids must be hashed down, the table size must be a
@@ -192,9 +215,16 @@ SIFT1M_CONFIG = PQTConfig(dim=128, p=4, c1=16, c2=16, line_parts=16,
 
 # hash_size: the reference uses HASH_SIZE = 4e8 (PerturbationProTree.hh:12);
 # our shift-based hashing needs a power of two, so we use 2^29 ~= 5.4e8.
+# Probe budget: the reference's maxBins = 64*8192 on ONE GPU
+# (PerturbationProTree.cu:8604-8639) maps to 8192 bins PER SHARD across a
+# 64-way hash-range-sharded mesh (parallel/sharded.py) — per-shard budgets
+# add up, so the GLOBAL probe budget matches the reference's without any
+# single device enumerating half a million bins.  A single-chip SIFT1B run
+# should lower hash_size to fit HBM and accept the per-chip budget.
 SIFT1B_CONFIG = PQTConfig(dim=128, p=4, c1=16, c2=16, line_parts=32,
-                          k1_build=16, k1_query=16, max_bins=64 * 8192,
-                          max_candidates=32768, hash_size=1 << 29)
+                          k1_build=16, k1_query=16, max_bins=8192,
+                          max_candidates=8192, pair_top_m=256,
+                          enum_width=32768, hash_size=1 << 29)
 
 GIST1M_CONFIG = PQTConfig(dim=960, p=4, c1=16, c2=16, line_parts=32,
                           k1_build=16, k1_query=8, max_bins=4096,

@@ -432,7 +432,7 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
             safe_pos = jnp.where(valid, positions, 0)
             cand_ids = db.payload[safe_pos, 0]        # (B, K)
         safe_ids = jnp.where(valid, cand_ids, 0)
-        cand_vecs = db.vectors[safe_ids]              # (B, K, dim), by orig id
+        cand_vecs = db.vectors[safe_ids].astype(jnp.float32)  # (B,K,dim) by id
         diff = cand_vecs - queries[:, None, :]
         dists = jnp.sum(diff * diff, axis=-1)
         dists = jnp.where(valid, dists, jnp.inf)
@@ -463,6 +463,32 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
                        n_candidates=n_cand)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def query_candidates(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
+                     queries: jax.Array):
+    """The raw gathered candidate set (before any re-rank).
+
+    Returns (cand_ids (B, max_candidates) int32, valid (B, max_candidates)
+    bool).  Used to measure candidate recall (the R_total ceiling of the
+    reference's sweep, test/test1B.cpp:984-1020).
+    """
+    queries = queries.astype(jnp.float32)
+    if cfg.pair_pipeline_enabled:
+        cand_ids, line_d, _ = query_core_pair(
+            cfg, tree, db.prefix2, db.payload, queries, 0,
+            pair_occ=db.pair_occ, want_candidates=True)
+        return cand_ids, jnp.isfinite(line_d)
+    sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+    bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
+                                       db.counts, pair_occ=db.pair_occ)
+    prefix_of_bins = db.prefix[bins]
+    positions, valid = binning.gather_candidates(
+        prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
+    safe_pos = jnp.where(valid, positions, 0)
+    cand_ids = db.payload[safe_pos, 0]
+    return jnp.where(valid, cand_ids, -1), valid
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def query_knn_refine(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
                      queries: jax.Array, k: int, refine_factor: int = 8,
@@ -479,7 +505,7 @@ def query_knn_refine(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     # Exact distances only for the surviving k1 candidates (db.vectors is
     # indexed by original id).
     safe_ids = jnp.maximum(stage1.indices, 0)
-    cand_vecs = db.vectors[safe_ids]
+    cand_vecs = db.vectors[safe_ids].astype(jnp.float32)
     diff = cand_vecs - queries[:, None, :].astype(jnp.float32)
     exact = jnp.sum(diff * diff, axis=-1)
     exact = jnp.where(stage1.indices >= 0, exact, jnp.inf)

@@ -151,7 +151,7 @@ def query_big_knn_perfect(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     k1 = min(k * refine_factor, cfg.max_candidates)
     stage1 = query_big_knn(cfg, tree, db, queries, k1, n_intermediate)
     safe_ids = jnp.maximum(stage1.indices, 0)
-    cand_vecs = db.vectors[safe_ids]
+    cand_vecs = db.vectors[safe_ids].astype(jnp.float32)
     diff = cand_vecs - queries[:, None, :].astype(jnp.float32)
     exact = jnp.sum(diff * diff, axis=-1)
     exact = jnp.where(stage1.indices >= 0, exact, jnp.inf)

@@ -38,6 +38,26 @@ def dataset_header(path: str):
     return texmex.mem_header(path)
 
 
+def read_train_sample(path: str, num: int, n_train: int,
+                      n_blocks: int = 64):
+    """Training subsample spread ACROSS the dataset file.
+
+    The reference trains on vectors subsampled across the whole file
+    (test/test1B.cpp:703-724's strided reads); taking the FIRST n_train rows
+    skews codebooks on ordered datasets (e.g. bvecs shards).  Reads
+    `n_blocks` contiguous blocks at evenly spaced offsets — contiguous IO,
+    file-wide coverage.
+    """
+    import numpy as np
+    if n_train >= num:
+        return read_dataset(path, num)
+    n_blocks = min(n_blocks, max(1, n_train // 1024))
+    per = n_train // n_blocks
+    stride = num // n_blocks
+    parts = [read_dataset(path, per, i * stride) for i in range(n_blocks)]
+    return np.concatenate(parts, axis=0)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", required=True,
@@ -79,9 +99,10 @@ def main(argv=None):
         tree = artifacts.load_tree(paths["tree"], cfg)
     else:
         n_train = min(num, args.train_size)
-        print(f"training tree on {n_train} vectors ...")
+        print(f"training tree on {n_train} vectors "
+              f"(sampled across the file) ...")
         t0 = time.time()
-        tree = train_tree(cfg, read_dataset(args.dataset, n_train))
+        tree = train_tree(cfg, read_train_sample(args.dataset, num, n_train))
         print(f"trained in {time.time() - t0:.1f}s")
         artifacts.save_tree(paths["tree"], cfg, tree)
 

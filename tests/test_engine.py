@@ -58,9 +58,10 @@ def test_query_recall_line_rerank(trained):
     r = metrics.recall_at(np.asarray(res.indices), np.asarray(gt))
     # The line-code approximation prunes well but ranks coarsely (it is a
     # pruning stage in the reference too; exact re-rank gives the precision).
-    # Thresholds calibrated on this fixture with margin.
-    assert r["R@10"] >= 0.45, r
-    assert r["R@1"] >= 0.08, r
+    # Fixture measures R@1 = 0.203, R@10 = 0.703 (seed 42); thresholds sit
+    # ~30% below so only a real recall collapse fails, not seed jitter.
+    assert r["R@10"] >= 0.60, r
+    assert r["R@1"] >= 0.14, r
 
 
 def test_query_recall_exact_rerank(trained):
@@ -69,8 +70,9 @@ def test_query_recall_exact_rerank(trained):
     res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 10,
                     True)
     r = metrics.recall_at(np.asarray(res.indices), np.asarray(gt))
-    # exact re-rank of the candidate set: recall == candidate recall
-    assert r["R@1"] >= 0.85, r
+    # exact re-rank of the candidate set: recall == candidate recall.
+    # Fixture measures R@1 = 1.0 (seed 42).
+    assert r["R@1"] >= 0.92, r
 
 
 def test_query_refine_beats_line_only(trained):
