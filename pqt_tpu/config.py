@@ -54,6 +54,12 @@ class PQTConfig:
     pair_filter_slack: float = 1.5  # keep slack*max_bins pair-passing bins
                                     # before the true occupancy compaction
     pair_filter_max_table: int = 1 << 22  # max entries per pair table
+    multidb_rank: str = "occurrence"  # multi-DB candidate ranking:
+                                      # "occurrence" = groups-found-in desc,
+                                      # then line distance (the reference's
+                                      # getMultiKVectorIDs dedup semantics,
+                                      # ProTree.cu:3243-3310);
+                                      # "distance" = line distance only
     dedup_candidates: bool = False  # drop duplicate candidate ids before
                                     # top-k (hash collisions can probe the
                                     # same bin twice).  The reference's
@@ -167,6 +173,8 @@ class PQTConfig:
             raise ValueError("k1_build must be <= c1")
         if self.pipeline not in ("pair", "parts"):
             raise ValueError(f"unknown pipeline {self.pipeline!r}")
+        if self.multidb_rank not in ("occurrence", "distance"):
+            raise ValueError(f"unknown multidb_rank {self.multidb_rank!r}")
         if self.lambda_bits not in (8, 16):
             raise ValueError("lambda_bits must be 8 or 16")
         if self.pipeline == "pair" and self.p in (2, 4):

@@ -155,13 +155,31 @@ def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
     q_line = line_tables(cfg, tree, queries)
     dists = reconstruct_dists_idx(cand_a, cand_b, cand_lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
-    # cross-group duplicates are expected; always dedup here.
-    dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+    # cross-group duplicates are expected; dedup keeps one survivor per id
+    # and (reference semantics, ProTree.cu:3243-3310 getMultiKVectorIDs:
+    # occurrence count ranks first) the survivor carries how many groups
+    # found it — a vector recalled along several subspaces is likelier to
+    # be a true neighbor than a one-group hit at similar line distance.
+    from pqt_tpu.models.query import _duplicate_stats
+    dup, occ = _duplicate_stats(cand_ids, valid)
+    dists = jnp.where(dup, jnp.inf, dists)
     k_eff = min(k, cand_ids.shape[1])
-    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
-    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
-    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
-    dists_out = -neg_top
+    if cfg.multidb_rank == "occurrence":
+        # lexicographic (occurrences desc, line distance asc); +inf slots
+        # (invalid or duplicate) always sort last via the finite flag.
+        finite = jnp.isfinite(dists)
+        key0 = (~finite).astype(jnp.int32)
+        key1 = jnp.where(finite, -occ, 0)
+        _, _, d_s, ids_s = jax.lax.sort(
+            (key0, key1, dists, cand_ids), dimension=-1, num_keys=3)
+        top_ids = ids_s[:, :k_eff]
+        dists_out = d_s[:, :k_eff]
+        top_ids = jnp.where(jnp.isfinite(dists_out), top_ids, -1)
+    else:
+        neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+        top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+        top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+        dists_out = -neg_top
     if k_eff < k:
         top_ids = jnp.pad(top_ids, ((0, 0), (0, k - k_eff)),
                           constant_values=-1)

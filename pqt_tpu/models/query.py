@@ -37,25 +37,44 @@ from pqt_tpu.ops import binning, distseq
 from pqt_tpu.ops.linecodes import reconstruct_dists, reconstruct_dists_idx
 
 
-def _mask_duplicate_candidates(cand_ids, valid, dists):
-    """Set the distance of repeated candidate ids to +inf.
+def _duplicate_stats(cand_ids, valid):
+    """(dup_mask, occurrences) over each row's candidate ids.
 
-    Duplicate ids refer to the same vector (identical distance), so any one
-    survivor is equivalent; invalid slots get unique sentinels so they never
-    alias a real candidate.
+    dup_mask is True on every repeat AFTER the first occurrence of an id;
+    occurrences is the total count of that id in the row (on every slot).
+    Invalid slots get unique sentinels so they never alias a real candidate.
+    Sort-based (row sorts are vectorized bitonic networks on TPU; scatters
+    lower to scalar loops, so the per-row scatter is a single int write).
     """
     B, K = cand_ids.shape
     sentinels = -(jnp.arange(K, dtype=jnp.int32) + 1)[None, :]
     uid = jnp.where(valid, cand_ids, sentinels)
     order = jnp.argsort(uid, axis=-1)
     sorted_uid = jnp.take_along_axis(uid, order, axis=-1)
-    dup_sorted = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.bool_),
-         sorted_uid[:, 1:] == sorted_uid[:, :-1]], axis=-1)
+    new_run = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.bool_),
+         sorted_uid[:, 1:] != sorted_uid[:, :-1]], axis=-1)
+    # run id per slot, then run lengths, broadcast back to every member.
+    run_id = jnp.cumsum(new_run.astype(jnp.int32), axis=-1) - 1   # (B, K)
+    run_len = jnp.zeros((B, K), jnp.int32).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], run_id].add(1)
+    occ_sorted = jnp.take_along_axis(run_len, run_id, axis=-1)
     row = jnp.arange(B, dtype=jnp.int32)[:, None]
     flat = (row * K + order).ravel()
     dup = (jnp.zeros((B * K,), jnp.bool_)
-           .at[flat].set(dup_sorted.ravel()).reshape(B, K))
+           .at[flat].set((~new_run).ravel()).reshape(B, K))
+    occ = (jnp.zeros((B * K,), jnp.int32)
+           .at[flat].set(occ_sorted.ravel()).reshape(B, K))
+    return dup, occ
+
+
+def _mask_duplicate_candidates(cand_ids, valid, dists):
+    """Set the distance of repeated candidate ids to +inf.
+
+    Duplicate ids refer to the same vector (identical distance), so any one
+    survivor is equivalent.
+    """
+    dup, _ = _duplicate_stats(cand_ids, valid)
     return jnp.where(dup, jnp.inf, dists)
 
 
@@ -363,6 +382,47 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
     if want_candidates:
         return cand_ids, dists, jnp.sum(valid, axis=-1)
+    k_eff = min(k, cfg.max_candidates)
+    neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+    top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+    return top_ids, -neg_top, jnp.sum(valid, axis=-1)
+
+
+def query_core_exact(cfg: PQTConfig, tree: PQTree, prefix2, payload,
+                     vectors_csr, queries, k: int, bin_offset=None,
+                     pair_occ=None):
+    """Single-shard EXACT re-rank query over raw CSR arrays.
+
+    Like query_core_pair but ranks every gathered candidate by its TRUE
+    squared distance, reading `vectors_csr` — raw vectors laid out in CSR
+    ORDER (position-indexed, same order as `payload`), so a hash-range shard
+    of the database can carry the matching contiguous vector slice.  The
+    perfect-rerank analog of rerankBIGKernelPerfect
+    (PerturbationProTree.cu:5532-5619), shardable because no original-id
+    indexed array is needed.
+    """
+    queries = queries.astype(jnp.float32)
+    if cfg.pair_pipeline_enabled:
+        _, h_pairs, exact = _pair_stage(cfg, tree, queries, pair_occ)
+        bins = _enumerate_bins_pair(cfg, h_pairs, exact)
+        start, cnt = _probe_bins(cfg, bins, prefix2, bin_offset)
+    else:
+        sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
+        counts = prefix2[:, 1] - prefix2[:, 0]
+        bins, cnt = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
+                                    bin_offset, pair_occ)
+        start = prefix2[bins, 0]
+    positions, valid = binning.gather_candidates(
+        start, cnt, cfg.max_candidates, cfg.max_vec_per_bin)
+    safe_pos = jnp.where(valid, positions, 0)
+    cand_ids = payload[safe_pos, 0]
+    vecs = vectors_csr[safe_pos].astype(jnp.float32)       # (B, K, dim)
+    diff = vecs - queries[:, None, :]
+    dists = jnp.sum(diff * diff, axis=-1)
+    dists = jnp.where(valid, dists, jnp.inf)
+    if cfg.dedup_candidates:
+        dists = _mask_duplicate_candidates(cand_ids, valid, dists)
     k_eff = min(k, cfg.max_candidates)
     neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)

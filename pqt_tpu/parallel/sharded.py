@@ -31,7 +31,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pqt_tpu.config import PQTConfig
 from pqt_tpu.models.db import PQTDatabase
-from pqt_tpu.models.query import QueryResult, query_core, query_core_pair
+from pqt_tpu.models.query import (QueryResult, query_core,
+                                  query_core_exact, query_core_pair)
+from pqt_tpu.models.query_big import query_big_core
 from pqt_tpu.models.tree import PQTree
 
 
@@ -50,6 +52,11 @@ class ShardedDatabase(NamedTuple):
     pair_occ: Optional[jax.Array]  # (p//2, radix^2) uint8, REPLICATED —
                                    # global pair occupancy, a conservative
                                    # prefilter for every shard
+    vectors: Optional[jax.Array] = None  # (S, max_shard_n, dim) raw vectors
+                                         # in CSR ORDER (same layout as
+                                         # payload) for sharded EXACT
+                                         # re-rank; original dtype (uint8
+                                         # for SIFT — 4x cheaper gathers)
 
     @property
     def n_shards(self) -> int:
@@ -82,18 +89,31 @@ def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
     sh_prefix2 = np.empty((n_shards, span, 2), np.int32)
     sh_payload = np.zeros((n_shards, max_n, payload.shape[1]), np.int32)
     sh_payload[:, :, 0] = -1          # id column: -1 marks padding
+    vectors_csr = None
+    sh_vectors = None
+    if db.vectors is not None:
+        # Re-lay raw vectors in CSR order so each shard's slice is
+        # contiguous and position-indexed, like the payload (the sharded
+        # exact re-rank reads vectors_csr[position]).
+        vec = np.asarray(db.vectors)
+        vectors_csr = vec[np.asarray(db.ids)]
+        sh_vectors = np.zeros((n_shards, max_n, vec.shape[1]), vec.dtype)
     for s in range(n_shards):
         sh_prefix[s] = prefix[s * span:(s + 1) * span] - starts[s]
         sh_counts[s] = counts[s * span:(s + 1) * span]
         sh_prefix2[s, :, 0] = sh_prefix[s]
         sh_prefix2[s, :, 1] = sh_prefix[s] + sh_counts[s]
         sh_payload[s, :lens[s]] = payload[starts[s]:ends[s]]
+        if sh_vectors is not None:
+            sh_vectors[s, :lens[s]] = vectors_csr[starts[s]:ends[s]]
     return ShardedDatabase(
         prefix=jnp.asarray(sh_prefix), counts=jnp.asarray(sh_counts),
         prefix2=jnp.asarray(sh_prefix2),
         payload=jnp.asarray(sh_payload),
         n_per_shard=jnp.asarray(lens, jnp.int32),
-        pair_occ=db.pair_occ)
+        pair_occ=db.pair_occ,
+        vectors=(jnp.asarray(sh_vectors) if sh_vectors is not None
+                 else None))
 
 
 def place_sharded_db(sdb: ShardedDatabase, mesh: Mesh,
@@ -109,36 +129,62 @@ def place_sharded_db(sdb: ShardedDatabase, mesh: Mesh,
     pair_occ = sdb.pair_occ
     if pair_occ is not None:
         pair_occ = jax.device_put(pair_occ, NamedSharding(mesh, P()))
-    return ShardedDatabase(pair_occ=pair_occ, **placed)
+    vectors = sdb.vectors
+    if vectors is not None:
+        vectors = put(vectors)
+    return ShardedDatabase(pair_occ=pair_occ, vectors=vectors, **placed)
 
 
 def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
                           db_axis: str = "db",
-                          batch_axis: Optional[str] = None):
+                          batch_axis: Optional[str] = None,
+                          mode: str = "line",
+                          n_intermediate: int = 256):
     """Build the jitted multi-chip query step.
 
     Returns fn(tree, sharded_db, queries) -> QueryResult with replicated
     outputs.  queries: (B, dim); if `batch_axis` names a second mesh axis the
     batch is additionally split across it (B must divide evenly).
+
+    mode:
+      "line"  — line-code re-rank (queryKNN analog), the serving default;
+      "exact" — every gathered candidate ranked by TRUE distance from the
+                shard's CSR-ordered raw vector slice (rerankBIGKernelPerfect
+                analog, PerturbationProTree.cu:5532-5619); needs
+                sdb.vectors.  Per-shard top-k by exact distance merges to
+                the same global top-k a single device would produce;
+      "big"   — the BIG two-stage enumeration (getBIGBins2D analog) with
+                line re-rank, for large per-shard probe budgets.
     """
     span = cfg.hash_size // mesh.shape[db_axis]
+    if mode not in ("line", "exact", "big"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     q_spec = P(batch_axis) if batch_axis else P()
     out_spec = (P(batch_axis) if batch_axis else P(),) * 3
 
-    def make_db_specs(has_pair_occ: bool):
+    def make_db_specs(has_pair_occ: bool, has_vectors: bool):
         return ShardedDatabase(
             prefix=P(db_axis, None), counts=P(db_axis, None),
             prefix2=P(db_axis, None, None),
             payload=P(db_axis, None, None), n_per_shard=P(db_axis),
-            pair_occ=P() if has_pair_occ else None)
+            pair_occ=P() if has_pair_occ else None,
+            vectors=P(db_axis, None, None) if has_vectors else None)
 
     def shard_fn(tree, sdb, queries):
         # Inside shard_map every leaf has its local block shape; the leading
         # shard axis of the db leaves is size 1 here.
         shard_idx = jax.lax.axis_index(db_axis)
         bin_offset = shard_idx.astype(jnp.int32) * span
-        if cfg.pair_pipeline_enabled:
+        if mode == "exact":
+            ids, dists, ncand = query_core_exact(
+                cfg, tree, sdb.prefix2[0], sdb.payload[0], sdb.vectors[0],
+                queries, k, bin_offset=bin_offset, pair_occ=sdb.pair_occ)
+        elif mode == "big":
+            ids, dists, ncand = query_big_core(
+                cfg, tree, sdb.prefix[0], sdb.counts[0], sdb.payload[0],
+                queries, k, n_intermediate, bin_offset=bin_offset)
+        elif cfg.pair_pipeline_enabled:
             ids, dists, ncand = query_core_pair(
                 cfg, tree, sdb.prefix2[0], sdb.payload[0],
                 queries, k, bin_offset=bin_offset, pair_occ=sdb.pair_occ)
@@ -161,11 +207,13 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
 
     mapped_cache = {}
 
-    def get_mapped(has_pair_occ: bool):
-        if has_pair_occ not in mapped_cache:
+    def get_mapped(has_pair_occ: bool, has_vectors: bool):
+        key = (has_pair_occ, has_vectors)
+        if key not in mapped_cache:
             mapped = jax.shard_map(
                 shard_fn, mesh=mesh,
-                in_specs=(P(), make_db_specs(has_pair_occ), q_spec),
+                in_specs=(P(), make_db_specs(has_pair_occ, has_vectors),
+                          q_spec),
                 out_specs=out_spec,
                 check_vma=False)
 
@@ -175,11 +223,15 @@ def make_sharded_query_fn(cfg: PQTConfig, mesh: Mesh, k: int,
                 return QueryResult(indices=ids, dists=dists,
                                    n_candidates=ncand)
 
-            mapped_cache[has_pair_occ] = query_fn
-        return mapped_cache[has_pair_occ]
+            mapped_cache[key] = query_fn
+        return mapped_cache[key]
 
     def query_fn(tree, sdb, queries):
-        return get_mapped(sdb.pair_occ is not None)(tree, sdb, queries)
+        if mode == "exact" and sdb.vectors is None:
+            raise ValueError("mode='exact' needs a ShardedDatabase built "
+                             "from a db with keep_vectors=True")
+        return get_mapped(sdb.pair_occ is not None,
+                          sdb.vectors is not None)(tree, sdb, queries)
 
     return query_fn
 

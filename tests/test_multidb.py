@@ -54,6 +54,25 @@ def test_multi_query_no_duplicates(built):
         assert len(real) == len(np.unique(real))
 
 
+def test_multi_occurrence_ranking_at_least_distance_only(built):
+    """Occurrence-count ranking (reference dedup semantics,
+    ProTree.cu:3243-3310) should not lose recall vs pure line-distance
+    ranking: a candidate recalled by several subspace groups is likelier to
+    be a true neighbor."""
+    tree, mdb, db_vecs, queries, gt = built
+    res_occ = query_multi_knn(CFG.replace(multidb_rank="occurrence"),
+                              tree, mdb, jnp.asarray(queries), 10)
+    res_dist = query_multi_knn(CFG.replace(multidb_rank="distance"),
+                               tree, mdb, jnp.asarray(queries), 10)
+    r_occ = metrics.recall_at(np.asarray(res_occ.indices), gt, ks=(1, 10))
+    r_dist = metrics.recall_at(np.asarray(res_dist.indices), gt, ks=(1, 10))
+    assert r_occ["R@10"] >= r_dist["R@10"] - 0.05, (r_occ, r_dist)
+    # occurrence results still deduplicated and padded correctly
+    for row in np.asarray(res_occ.indices):
+        real = row[row >= 0]
+        assert len(real) == len(np.unique(real))
+
+
 def test_multi_candidate_union_at_least_single(built, clustered_data):
     """The multi-index union should recall at least as many true NNs in its
     candidate set as the single 4-part index at the same budgets."""
