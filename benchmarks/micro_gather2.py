@@ -103,15 +103,15 @@ def bench_lut():
         for E in (4096, 16384):
             idx = jnp.asarray(rng.integers(0, H, (B, E)).astype(np.int32))
             ref = np.asarray(table)[np.asarray(idx)]
-            t_x = timeit(jax.jit(lambda i, t_=table: t_[i]), idx)
+            t_x = timeit(jax.jit(lambda t_, i: t_[i]), table, idx)
             print(f"A xla    H=2^{H_log} E={E:<6} {t_x:8.2f} ms")
             for name, fn in (("2dgather", pallas_lut_2d),
                              ("takealong", pallas_lut_onehot)):
                 try:
-                    f = jax.jit(functools.partial(fn, table))
-                    got = np.asarray(f(idx))
+                    f = jax.jit(fn)
+                    got = np.asarray(f(table, idx))
                     ok = (ref == got).all()
-                    t = timeit(f, idx)
+                    t = timeit(f, table, idx)
                     print(f"A plls-{name:<9} H=2^{H_log} E={E:<6} {t:8.2f} ms"
                           f" correct={ok}")
                 except Exception as e:
@@ -128,7 +128,7 @@ def bench_payload():
     for W, dtype in ((18, np.int32), (8, np.int32), (4, np.int32),
                      (18, np.int16)):
         tab = jnp.asarray(rng.integers(0, 100, (N, W)).astype(dtype))
-        t = timeit(jax.jit(lambda p, t_=tab: t_[p]), pos)
+        t = timeit(jax.jit(lambda t_, p: t_[p]), tab, pos)
         ns = t * 1e6 / (B * K)
         print(f"B row    W={W:<3} {np.dtype(dtype).name:<6} {t:8.2f} ms "
               f"({ns:.1f} ns/row)")
@@ -139,7 +139,7 @@ def bench_payload():
         nb = K // S
         posb = pos[:, :nb]
 
-        def sliced(p, t_=tab, S=S):
+        def sliced(t_, p, S=S):
             g = jax.lax.gather(
                 t_, p.reshape(-1, 1),
                 jax.lax.GatherDimensionNumbers(
@@ -148,14 +148,14 @@ def bench_payload():
                 slice_sizes=(S, 18), mode="clip")
             return g.reshape(p.shape[0], p.shape[1], S, 18)
 
-        f = jax.jit(sliced)
-        got = np.asarray(f(posb))
+        f = jax.jit(functools.partial(sliced))
+        got = np.asarray(f(tab, posb))
         want = np.stack([np.asarray(tab)[np.asarray(posb)[b, i]:
                                          np.asarray(posb)[b, i] + S]
                          for b in range(2) for i in range(3)])
         ok = np.array_equal(
             got[:2, :3].reshape(-1, S, 18)[:want.shape[0]], want)
-        t = timeit(f, posb)
+        t = timeit(f, tab, posb)
         ns = t * 1e6 / (B * nb)
         print(f"C slab   S={S:<3} idx/q={nb:<5} {t:8.2f} ms "
               f"({ns:.1f} ns/slab, correct={ok})")

@@ -110,6 +110,18 @@ def aniso_2d_sequences(base: int, length: int = NUM_DISTSEQ,
     (ProTree.cu:68-92).  Used by the two-stage 2D bin selection where parts
     are merged pairwise (PerturbationProTree.cu:2839-3188).
 
+    STATUS — measured alternative, not wired into a pipeline: on the bench
+    fixture (benchmarks/aniso_vs_exact.py, n=100k, M=256) the heuristic
+    reaches the true-NN bin within the first E enumerated bins at rates
+    0.977 / 0.984 / 0.992 for E = 128 / 512 / 2048, while EXACT pair-sum
+    ordering (what query.py's pair stage computes with one top_k on the
+    MXU) sits at its 0.992 ceiling already at E = 128.  The heuristic only
+    exists in the reference because exact per-query sorting was expensive
+    inside a CUDA block; on TPU the exact ordering is cheaper than
+    dispatching per-query sequence selection, so the production pipelines
+    use exact ordering and this family remains as the reference-parity
+    implementation (validated in tests/test_ops.py).
+
     Returns:
       (n_dir, length, 2) int32; [..., 0] = x (first part's rank),
       [..., 1] = y (second part's rank).  Zero-padded past base^2.

@@ -1,0 +1,80 @@
+"""Pallas probe kernel: VMEM-resident bin-extent lookup.
+
+The query pipeline's occupancy probe reads one (start, end) extent row per
+enumerated bin (models/query._probe_bins).  As an XLA gather this pays the
+per-index HBM gather cost for (B, E) scattered lookups into the (H, 2)
+extent table; but at serving-sized hash tables (H = 2^20 -> 8 MB) the WHOLE
+table fits in VMEM, where a vectorized lookup costs no HBM traffic at all.
+
+The kernel re-layouts the table as two (H/128, 128) planes (start, count)
+and performs the 2D VMEM gather `plane[idx // 128, idx % 128]` for a block
+of query rows per grid step — the TPU analog of the reference keeping its
+bin counters resident in L2 (PerturbationProTree.cu:3374-3549 reads
+binCounts through the texture/L2 path).
+
+Falls back to the XLA gather when the table exceeds the VMEM budget
+(models/query.py picks automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Leave headroom for the bins/out blocks + double buffering.
+VMEM_TABLE_BUDGET = 10 * 1024 * 1024
+
+
+def fits_vmem(hash_size: int) -> bool:
+    """Whether the (H, 2) int32 extent table fits the VMEM kernel budget."""
+    return hash_size * 8 <= VMEM_TABLE_BUDGET and hash_size % 128 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def probe_extents_vmem(prefix2: jax.Array, bins: jax.Array,
+                       interpret: bool = False):
+    """(start (B, E), count (B, E)) for slot ids `bins` with the extent
+    table resident in VMEM.
+
+    prefix2: (H, 2) int32 CSR extents (start, end); bins: (B, E) int32 in
+    [0, H).  Caller handles out-of-range ids (pass clamped ids + mask).
+    """
+    H = prefix2.shape[0]
+    B, E = bins.shape
+    start_plane = prefix2[:, 0].reshape(H // 128, 128)
+    end_plane = prefix2[:, 1].reshape(H // 128, 128)
+
+    R = 8 if B % 8 == 0 else (4 if B % 4 == 0 else 1)
+
+    def kernel(s_ref, e_ref, idx_ref, out_s_ref, out_c_ref):
+        ids = idx_ref[:]
+        r = ids >> 7            # // 128
+        c = ids & 127           # % 128
+        s = s_ref[r, c]
+        out_s_ref[:] = s
+        out_c_ref[:] = e_ref[r, c] - s
+
+    grid = (B // R,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H // 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H // 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, E), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, E), jnp.int32),
+                   jax.ShapeDtypeStruct((B, E), jnp.int32)),
+        interpret=interpret,
+    )(start_plane, end_plane, bins)
