@@ -47,6 +47,15 @@ class PQTConfig:
                                # the first max_bins non-empty (reference maxTrials)
     max_candidates: int = 4096  # candidate vectors gathered per query (k2)
     max_vec_per_bin: int = 1024  # per-bin candidate cap during gather
+    gather_mode: str = "rows"  # candidate collection from probed bins:
+                               # "rows"  = per-row positions (one scattered
+                               #           row gather per candidate);
+                               # "slabs" = contiguous slab_size-row slices
+                               #           per bin (gathers pay per INDEX on
+                               #           TPU; bins hold many rows, so slab
+                               #           fetches divide the dominant
+                               #           gather cost by slab_size)
+    slab_size: int = 32        # rows per slab in "slabs" mode
     pair_filter: bool = True   # prefilter enumerated bins with pair-code
                                # occupancy tables before the (expensive)
                                # per-bin count lookup; needs even p and
@@ -175,6 +184,10 @@ class PQTConfig:
             raise ValueError(f"unknown pipeline {self.pipeline!r}")
         if self.multidb_rank not in ("occurrence", "distance"):
             raise ValueError(f"unknown multidb_rank {self.multidb_rank!r}")
+        if self.gather_mode not in ("rows", "slabs"):
+            raise ValueError(f"unknown gather_mode {self.gather_mode!r}")
+        if self.slab_size < 1:
+            raise ValueError("slab_size must be positive")
         if self.lambda_bits not in (8, 16):
             raise ValueError("lambda_bits must be 8 or 16")
         if self.pipeline == "pair" and self.p in (2, 4):

@@ -370,10 +370,7 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
     d_pairs, h_pairs, exact = _pair_stage(cfg, tree, queries, pair_occ)
     bins = _enumerate_bins_pair(cfg, h_pairs, exact)
     start, cnt = _probe_bins(cfg, bins, prefix2, bin_offset)
-    positions, valid = binning.gather_candidates(
-        start, cnt, cfg.max_candidates, cfg.max_vec_per_bin)
-    safe_pos = jnp.where(valid, positions, 0)
-    rows = payload[safe_pos]                               # (B, K, W) gather
+    rows, valid, _ = _collect_rows(cfg, payload, start, cnt)
     cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(cfg, rows)
     q_line = line_tables(cfg, tree, queries)               # (B, lp, c1)
     dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
@@ -382,11 +379,42 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
     if want_candidates:
         return cand_ids, dists, jnp.sum(valid, axis=-1)
-    k_eff = min(k, cfg.max_candidates)
+    k_eff = min(k, dists.shape[-1])
     neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
     top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
     return top_ids, -neg_top, jnp.sum(valid, axis=-1)
+
+
+def _collect_rows(cfg: PQTConfig, payload, start, cnt, *extra_tables):
+    """Candidate rows from probed-bin extents, by the configured gather mode.
+
+    start/cnt: (B, nb) CSR start + occupancy of each probed bin (in
+    enumeration order).  Returns (rows (B, K, W), valid (B, K), extra_rows)
+    where K = max_candidates (rows mode) or its slab-rounded size, and
+    extra_rows fetches the same row windows from each array in
+    `extra_tables` (e.g. CSR-ordered raw vectors for exact re-rank).
+
+    "slabs" mode fetches contiguous slab_size-row slices per bin — the same
+    bytes in ~1/slab_size the gather indices (see binning.gather_slabs).
+    """
+    if cfg.gather_mode == "slabs":
+        S = cfg.slab_size
+        T = -(-cfg.max_candidates // S)
+        slab_starts, slab_valid = binning.gather_slabs(
+            start, cnt, T, S, cfg.max_vec_per_bin)
+        rows, valid = binning.fetch_slab_rows(payload, slab_starts,
+                                              slab_valid, S)
+        extra = tuple(
+            binning.fetch_slab_rows(t, slab_starts, slab_valid, S)[0]
+            for t in extra_tables)
+        return rows, valid, extra
+    positions, valid = binning.gather_candidates(
+        start, cnt, cfg.max_candidates, cfg.max_vec_per_bin)
+    safe_pos = jnp.where(valid, positions, 0)
+    rows = payload[safe_pos]
+    extra = tuple(t[safe_pos] for t in extra_tables)
+    return rows, valid, extra
 
 
 def query_core_exact(cfg: PQTConfig, tree: PQTree, prefix2, payload,
@@ -413,17 +441,16 @@ def query_core_exact(cfg: PQTConfig, tree: PQTree, prefix2, payload,
         bins, cnt = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
                                     bin_offset, pair_occ)
         start = prefix2[bins, 0]
-    positions, valid = binning.gather_candidates(
-        start, cnt, cfg.max_candidates, cfg.max_vec_per_bin)
-    safe_pos = jnp.where(valid, positions, 0)
-    cand_ids = payload[safe_pos, 0]
-    vecs = vectors_csr[safe_pos].astype(jnp.float32)       # (B, K, dim)
+    rows, valid, (vec_rows,) = _collect_rows(cfg, payload, start, cnt,
+                                             vectors_csr)
+    cand_ids = rows[..., 0]
+    vecs = vec_rows.astype(jnp.float32)                    # (B, K, dim)
     diff = vecs - queries[:, None, :]
     dists = jnp.sum(diff * diff, axis=-1)
     dists = jnp.where(valid, dists, jnp.inf)
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
-    k_eff = min(k, cfg.max_candidates)
+    k_eff = min(k, dists.shape[-1])
     neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
     top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
@@ -446,17 +473,14 @@ def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
     bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
                                        bin_offset, pair_occ)
     prefix_of_bins = prefix[bins]
-    positions, valid = binning.gather_candidates(
-        prefix_of_bins, bin_counts, cfg.max_candidates, cfg.max_vec_per_bin)
-    safe_pos = jnp.where(valid, positions, 0)
-    cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(
-        cfg, payload[safe_pos])
+    rows, valid, _ = _collect_rows(cfg, payload, prefix_of_bins, bin_counts)
+    cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(cfg, rows)
     q_line = line_tables(cfg, tree, queries)          # (B, lp, c1)
     dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
-    k_eff = min(k, cfg.max_candidates)
+    k_eff = min(k, dists.shape[-1])
     neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
     top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)

@@ -133,6 +133,105 @@ def compact_nonempty_bins(bin_ids: jax.Array, counts: jax.Array,
     return bins_s[:, :max_bins], counts_s[:, :max_bins]
 
 
+def gather_slabs(prefix_of_bins: jax.Array, counts_of_bins: jax.Array,
+                 n_slabs: int, slab_size: int, max_vec_per_bin: int):
+    """Assign fixed-size SLAB windows over the probed bins' CSR rows.
+
+    TPU-first alternative to per-row candidate positions: each probed bin
+    contributes ceil(min(cnt, cap)/S) slabs of S consecutive CSR rows, and
+    slabs fill in bin (enumeration) order until the `n_slabs` budget.  The
+    payload fetch then gathers n_slabs CONTIGUOUS (S, W) slices instead of
+    n_slabs*S scattered rows — row gathers on TPU pay a fixed per-index
+    cost, so this divides the dominant gather overhead by S while moving
+    the same bytes (bins average far more than one row; see the occupancy
+    histograms).  The reference's analog is the per-bin copy loop of
+    getKVectorIDsKernelFast (PerturbationProTree.cu:4307-4419), which also
+    walks bins, not rows.
+
+    Returns (slab_starts (B, n_slabs) int32 CSR positions,
+             slab_valid (B, n_slabs) int32 in [0, S]: valid rows per slab).
+    Invalid slabs have slab_valid == 0 (starts clamped to 0).
+    """
+    B, nb = counts_of_bins.shape
+    S = slab_size
+    capped = jnp.minimum(counts_of_bins, max_vec_per_bin)
+    spb = (capped + (S - 1)) // S                       # slabs per bin
+    ends = jnp.cumsum(spb, axis=-1)
+    starts = ends - spb
+    total = ends[:, -1]
+
+    # Same sort-merge slot assignment as gather_candidates, at slab
+    # granularity, forwarding three per-bin values to the slots they own.
+    big = jnp.int32(2**30)
+    occupied = spb > 0
+    seed_key = jnp.where(occupied, starts, big)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (B, n_slabs), 1)
+    keys = jnp.concatenate([seed_key, grid], axis=-1)
+    flags = jnp.concatenate(
+        [jnp.zeros((B, nb), jnp.int32), jnp.ones((B, n_slabs), jnp.int32)],
+        axis=-1)
+    zeros_t = jnp.zeros((B, n_slabs), jnp.int32)
+    v_prefix = jnp.concatenate([prefix_of_bins, zeros_t], axis=-1)
+    v_sstart = jnp.concatenate([starts, zeros_t], axis=-1)
+    v_capped = jnp.concatenate([capped, zeros_t], axis=-1)
+    k_s, f_s, p_s, s_s, c_s = jax.lax.sort(
+        (keys, flags, v_prefix, v_sstart, v_capped), dimension=-1,
+        num_keys=2)
+    is_seed = f_s == 0
+
+    def fill_forward(l, r):
+        (lp, ls, lc, lf) = l
+        (rp, rs, rc, rf) = r
+        keep = rf
+        return (jnp.where(keep, rp, lp), jnp.where(keep, rs, ls),
+                jnp.where(keep, rc, lc), lf | rf)
+
+    p_f, s_f, c_f, _ = jax.lax.associative_scan(
+        fill_forward, (p_s, s_s, c_s, is_seed), axis=-1)
+    # compact the slot records back out (slot keys 0..n_slabs-1 sort first)
+    _, p_o, s_o, c_o = jax.lax.sort(
+        (jnp.where(is_seed, big, k_s), p_f, s_f, c_f), dimension=-1,
+        num_keys=1)
+    p_o, s_o, c_o = p_o[:, :n_slabs], s_o[:, :n_slabs], c_o[:, :n_slabs]
+    t_rel = grid - s_o                                   # slab idx within bin
+    slab_starts = p_o + t_rel * S
+    slab_valid = jnp.clip(c_o - t_rel * S, 0, S)
+    in_budget = grid < total[:, None]
+    slab_valid = jnp.where(in_budget, slab_valid, 0)
+    slab_starts = jnp.where(in_budget, slab_starts, 0)
+    return slab_starts, slab_valid
+
+
+def fetch_slab_rows(payload: jax.Array, slab_starts: jax.Array,
+                    slab_valid: jax.Array, slab_size: int):
+    """Gather (S, W) payload slices per slab -> per-row view + validity.
+
+    payload: (N, W); slab_starts/slab_valid: (B, T).  Returns
+    (rows (B, T*S, W), valid (B, T*S) bool).  Slabs near the end of the
+    payload are shifted left so the slice stays in bounds; the validity
+    window shifts with them (content is what matters downstream, not CSR
+    position).
+    """
+    B, T = slab_starts.shape
+    N, W = payload.shape
+    S = slab_size
+    eff = jnp.minimum(slab_starts, max(N - S, 0))
+    shift = slab_starts - eff                            # >= 0, rarely != 0
+    g = jax.lax.gather(
+        payload, eff.reshape(B * T, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(min(S, N), W), mode="clip")
+    rows = g.reshape(B, T, min(S, N), W)
+    if S > N:    # degenerate tiny payload: pad to S
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, S - N), (0, 0)))
+    i = jax.lax.broadcasted_iota(jnp.int32, (B, T, S), 2)
+    valid = (i >= shift[..., None]) & (
+        i < (shift + slab_valid)[..., None])
+    return rows.reshape(B, T * S, W), valid.reshape(B, T * S)
+
+
 def gather_candidates(prefix_of_bins: jax.Array, counts_of_bins: jax.Array,
                       max_candidates: int, max_vec_per_bin: int):
     """Flatten per-query probed bins into a fixed-size candidate list.
