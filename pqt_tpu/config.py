@@ -47,6 +47,15 @@ class PQTConfig:
                                # the first max_bins non-empty (reference maxTrials)
     max_candidates: int = 4096  # candidate vectors gathered per query (k2)
     max_vec_per_bin: int = 1024  # per-bin candidate cap during gather
+    probe_kernel: str = "auto"  # occupancy-probe implementation:
+                               # "xla"  = (B, E) row gather from the HBM
+                               #          extent table;
+                               # "vmem" = Pallas kernel with the whole
+                               #          extent table resident in VMEM
+                               #          (ops/pallas/probe.py) — no HBM
+                               #          gather at all;
+                               # "auto" = vmem on TPU when the table fits
+                               #          the VMEM budget, else xla.
     gather_mode: str = "rows"  # candidate collection from probed bins:
                                # "rows"  = per-row positions (one scattered
                                #           row gather per candidate);
@@ -186,6 +195,8 @@ class PQTConfig:
             raise ValueError(f"unknown multidb_rank {self.multidb_rank!r}")
         if self.gather_mode not in ("rows", "slabs"):
             raise ValueError(f"unknown gather_mode {self.gather_mode!r}")
+        if self.probe_kernel not in ("auto", "xla", "vmem"):
+            raise ValueError(f"unknown probe_kernel {self.probe_kernel!r}")
         if self.slab_size < 1:
             raise ValueError("slab_size must be positive")
         if self.lambda_bits not in (8, 16):

@@ -12,8 +12,16 @@ of query rows per grid step — the TPU analog of the reference keeping its
 bin counters resident in L2 (PerturbationProTree.cu:3374-3549 reads
 binCounts through the texture/L2 path).
 
-Falls back to the XLA gather when the table exceeds the VMEM budget
-(models/query.py picks automatically).
+MEASURED VERDICT (r3, TPU v5e / jax 0.9): this kernel lowers only in
+interpret mode.  Mosaic rejects the 2D VMEM vector gather ("Cannot do int
+indexing on TPU"); the only hardware gather it exposes is lane-dim
+take_along_axis (128 lanes), and a 2^20-slot table cannot be decomposed
+into lane+sublane gathers without a per-block sort.  Meanwhile the XLA
+gather lowers to the hardware scattered-load path at ~7 ns/index
+(benchmarks/ab_query.py: the full fused pipeline hits 72%+ of a
+gather-cost roofline).  models/query.py therefore keeps the XLA gather in
+production (probe_kernel='auto'); probe_kernel='vmem' runs this kernel
+for interpret-mode parity (tests/test_pallas_probe.py).
 """
 
 from __future__ import annotations

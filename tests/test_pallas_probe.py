@@ -23,3 +23,22 @@ def test_fits_vmem_budget():
     assert fits_vmem(1 << 20)          # 8 MB table: serving default
     assert not fits_vmem(1 << 22)      # 32 MB: falls back to XLA gather
     assert not fits_vmem((1 << 20) + 3)  # non-multiple of 128 lanes
+
+
+def test_probe_kernel_gating():
+    """auto never picks the Pallas kernel (Mosaic cannot lower the VMEM
+    vector gather — see ops/pallas/probe.py); vmem is opt-in and validates
+    its shape preconditions loudly."""
+    from pqt_tpu.config import PQTConfig
+    from pqt_tpu.models.query import _use_vmem_probe
+
+    auto = PQTConfig()
+    assert not _use_vmem_probe(auto, 1 << 20, 256, 2048)
+    xla = PQTConfig(probe_kernel="xla")
+    assert not _use_vmem_probe(xla, 1 << 20, 256, 2048)
+    vmem = PQTConfig(probe_kernel="vmem")
+    assert _use_vmem_probe(vmem, 1 << 20, 256, 2048)
+    with pytest.raises(ValueError):
+        _use_vmem_probe(vmem, 1 << 22, 256, 2048)   # table over budget
+    with pytest.raises(ValueError):
+        _use_vmem_probe(vmem, 1 << 20, 256, 2000)   # enum width not /128
