@@ -1,11 +1,13 @@
-"""Knob sweep round 2: combos around the round-1 winner (enum=512).
+"""Knob sweep round 3: refine/exact paths + winning combos (real chip).
 
-Round 1 (benchmarks/sweep_knobs.py, TPU v5e, n=1M, B=256):
-  enum 2048 -> 512 at fixed bins=512/cand=1024: 30.0k -> 38.7k QPS with
-  IDENTICAL R@1/I10/candidate recall (pair-occ filtering makes the first
-  max_bins enumerated bins all non-empty, so compaction headroom is waste).
+Round 2 results (TPU v5e, n=1M, held-out queries):
+  line B256 nofilter: 42.6k QPS (winner; pair filter costs more than it
+  saves once enum_width == max_bins), B512 base 42.2k.
+Jit note: call the engine's own jitted entry points directly — wrapping
+them in another jit closes over tree/db and bakes them into the shipped
+HLO (the remote-compile backend rejects >~100MB bodies with HTTP 413).
 
-Run:  python benchmarks/sweep_knobs2.py [n_db]
+Run:  python benchmarks/sweep_knobs3.py [n_db]
 """
 
 import os
@@ -42,14 +44,15 @@ def main():
     rng = np.random.default_rng(0)
     from bench import make_queries, make_sift_like
     data, subcenters = make_sift_like(n, dim, rng)
-    qmax = 1024
+    qmax = 512
     queries_all = jnp.asarray(make_queries(qmax, subcenters, rng))
 
     hash_size = min(P.SIFT1M_CONFIG.hash_size,
                     max(1 << 18, 1 << (n - 1).bit_length()))
     base = P.SIFT1M_CONFIG.replace(
         kmeans_iters=8, train_subsample=100_000, hash_size=hash_size,
-        max_bins=512, max_candidates=1024, pair_top_m=128, enum_width=512)
+        max_bins=512, max_candidates=1024, pair_top_m=128, enum_width=512,
+        pair_filter=False)
     cache_dir = os.environ.get("PQT_PROFILE_CACHE", "/tmp/pqt_profile_cache")
     tree = artifacts.load_or_build(
         os.path.join(cache_dir, f"tree_n{n}"),
@@ -61,9 +64,8 @@ def main():
         lambda p: artifacts.load_database(p, base),
         lambda: P.build_database(base, tree, data, encode_chunk=1 << 17),
         lambda p, d: artifacts.save_database(p, base, d))
-    if db.vectors is None:   # cached artifact predates keep_vectors
-        import jax.numpy as _jnp
-        db = db._replace(vectors=_jnp.asarray(data, _jnp.float32))
+    if db.vectors is None:
+        db = db._replace(vectors=jnp.asarray(data, jnp.float32))
     print(f"n={n} device={jax.devices()[0]}", flush=True)
 
     gt_d, gt_all = brute_force_knn(queries_all,
@@ -72,36 +74,36 @@ def main():
     gt_all = np.asarray(gt_all)
 
     variants = [
-        ("line B256 base", 256, {}, "line"),
-        ("line B256 nofilter", 256, dict(pair_filter=False), "line"),
-        ("line B256 cand768", 256, dict(max_candidates=768), "line"),
-        ("line B256 m96", 256, dict(pair_top_m=96), "line"),
-        ("line B512 base", 512, {}, "line"),
-        ("line B1024 base", 1024, {}, "line"),
-        ("line B256 enum384", 256, dict(enum_width=384, max_bins=384),
-         "line"),
-        ("refine B256 base", 256, {}, "refine"),
-        ("refine B1024 base", 1024, {}, "refine"),
+        ("line B256 nofilter", 256, {}, "line"),
+        ("line B512 nofilter", 512, {}, "line"),
+        ("refine B256", 256, {}, "refine"),
+        ("refine B512", 512, {}, "refine"),
         ("exactcore B256", 256, {}, "exact"),
+        ("refine B256 filter", 256, dict(pair_filter=True), "refine"),
+        ("line ref-budget 4096/4096", 256,
+         dict(max_bins=4096, max_candidates=4096, pair_top_m=256,
+              enum_width=4096), "line"),
+        ("refine ref-budget", 256,
+         dict(max_bins=4096, max_candidates=4096, pair_top_m=256,
+              enum_width=4096), "refine"),
     ]
     for name, B, kw, mode in variants:
         cfg = base.replace(**kw)
         queries, gt = queries_all[:B], gt_all[:B]
         if mode == "line":
-            f = jax.jit(lambda q, _c=cfg: P.query_knn(_c, tree, db, q, 100)
-                        .indices)
+            f = lambda q, _c=cfg: P.query_knn(_c, tree, db, q, 100).indices
         elif mode == "refine":
-            f = jax.jit(lambda q, _c=cfg: P.query_knn_refine(
-                _c, tree, db, q, 100, k_line=_c.max_candidates).indices)
+            f = lambda q, _c=cfg: P.query_knn_refine(
+                _c, tree, db, q, 100, k_line=_c.max_candidates).indices
         else:
-            f = jax.jit(lambda q, _c=cfg: P.query_knn(
-                _c, tree, db, q, 100, True).indices)
+            f = lambda q, _c=cfg: P.query_knn(
+                _c, tree, db, q, 100, True).indices
         t, ids = timeit(f, queries)
         ids = np.asarray(ids)
         r1 = float((ids[:, 0] == gt[:, 0]).mean())
         i10 = intersection_at(ids, gt, ks=(10,))["top10_intersection"]
         qps = B / (t / 1000)
-        print(f"{name:22s} {t:7.2f} ms {qps:8.0f} QPS  R@1={r1:.4f} "
+        print(f"{name:28s} {t:7.2f} ms {qps:8.0f} QPS  R@1={r1:.4f} "
               f"I10={i10:.4f}", flush=True)
 
 
