@@ -54,12 +54,23 @@ def main():
         kmeans_iters=8, train_subsample=100_000, hash_size=hash_size)
 
     t0 = time.time()
-    tree = P.train_tree(base_cfg, data[:200_000])
-    jax.block_until_ready(tree.cb2)
-    db = P.build_database(base_cfg, tree, data, encode_chunk=1 << 17,
-                          keep_vectors=True)
+    from pqt_tpu.io import artifacts
+    cache_dir = os.environ.get("PQT_PROFILE_CACHE", "/tmp/pqt_profile_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    tree = artifacts.load_or_build(
+        os.path.join(cache_dir, f"tree_n{n}"),
+        lambda p: artifacts.load_tree(p, base_cfg),
+        lambda: P.train_tree(base_cfg, data[:200_000]),
+        lambda p, t: artifacts.save_tree(p, base_cfg, t))
+    db = artifacts.load_or_build(
+        os.path.join(cache_dir, f"db_n{n}"),
+        lambda p: artifacts.load_database(p, base_cfg),
+        lambda: P.build_database(base_cfg, tree, data, encode_chunk=1 << 17),
+        lambda p, d: artifacts.save_database(p, base_cfg, d))
+    if db.vectors is None:      # refine path needs raw vectors
+        db = db._replace(vectors=jnp.asarray(data, jnp.float32))
     jax.block_until_ready(db.payload)
-    print(f"# train+build {time.time() - t0:.1f}s on {jax.devices()[0]}",
+    print(f"# train+build/load {time.time() - t0:.1f}s on {jax.devices()[0]}",
           file=sys.stderr, flush=True)
 
     qd = jnp.asarray(queries)

@@ -60,10 +60,16 @@ class PQTConfig:
                                # "rows"  = per-row positions (one scattered
                                #           row gather per candidate);
                                # "slabs" = contiguous slab_size-row slices
-                               #           per bin (gathers pay per INDEX on
-                               #           TPU; bins hold many rows, so slab
-                               #           fetches divide the dominant
-                               #           gather cost by slab_size)
+                               #           per bin.  Measured verdict (r3,
+                               #           TPU v5e, benchmarks/ab_query.py):
+                               #           XLA lowers the (S, W) slice
+                               #           gather to a SLOW path for the
+                               #           narrow unaligned payload rows —
+                               #           ~2x worse than "rows" despite
+                               #           1/S the indices.  "rows" stays
+                               #           the default; "slabs" is kept for
+                               #           wide-row layouts where slices
+                               #           are lane-aligned.
     slab_size: int = 32        # rows per slab in "slabs" mode
     pair_filter: bool = True   # prefilter enumerated bins with pair-code
                                # occupancy tables before the (expensive)
