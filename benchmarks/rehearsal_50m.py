@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--spill", default="/tmp/pqt_rehearsal_spill")
+    # Probe budget flags: the remote-compile service on this host stalls on
+    # >=8192-bin single-shard query programs (see BASELINE.md backend note),
+    # so the single-chip rehearsal defaults to 4096 bins; sharded serving
+    # restores the reference's global budget by splitting it across shards.
+    ap.add_argument("--bins", type=int, default=4096)
+    ap.add_argument("--cand", type=int, default=8192)
+    ap.add_argument("--enum", dest="enum_w", type=int, default=8192)
     args = ap.parse_args()
     n, dim = args.n, 128
 
@@ -52,8 +59,8 @@ def main():
     hash_size = 1 << min(29, max(22, (2 * n - 1).bit_length()))
     cfg = P.SIFT1B_CONFIG.replace(
         hash_size=hash_size, kmeans_iters=8, train_subsample=2_000_000,
-        max_bins=8192, max_candidates=8192, pair_top_m=256,
-        enum_width=32768, max_vec_per_bin=512)
+        max_bins=args.bins, max_candidates=args.cand, pair_top_m=256,
+        enum_width=args.enum_w, max_vec_per_bin=512)
 
     rng = np.random.default_rng(0)
     from bench import make_queries, make_sift_like
