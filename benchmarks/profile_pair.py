@@ -121,6 +121,21 @@ def main():
     t, _ = timeit(f_all, queries)
     print(f"TOTAL query_knn        {t:8.2f} ms   -> {batch / t * 1000:,.0f} QPS")
 
+    # Optional jax.profiler device trace (SURVEY §5.1): view with
+    # tensorboard / xprof.  Device-level tracing may be unsupported on
+    # remote-tunnel backends; degrade to a note rather than failing.
+    trace_dir = os.environ.get("PQT_TRACE_DIR")
+    if trace_dir:
+        try:
+            with jax.profiler.trace(trace_dir):
+                for _ in range(5):
+                    out = f_all(queries)
+                jax.block_until_ready(out)
+            print(f"trace written to {trace_dir}")
+        except Exception as e:  # noqa: BLE001
+            print(f"trace unsupported on this backend: "
+                  f"{type(e).__name__}: {e}")
+
     # ---- roofline: bytes / FLOPs vs device peak (VERDICT r2 weak #6) ----
     # v5e (TPU v5 lite): ~197 TFLOP/s bf16, ~49 TFLOP/s f32 (4x), ~819 GB/s
     # HBM.  The query is a gather/sort workload, so the honest normalizer is
