@@ -88,7 +88,10 @@ def main():
     # --- chunked build -----------------------------------------------------
     os.makedirs(os.path.dirname(args.spill) or "/tmp", exist_ok=True)
     t0 = time.time()
-    builder = ChunkedDBBuilder(cfg, tree, encode_chunk=1 << 17,
+    # encode_chunk: the line-code selection materializes (n, lp, c1*c1)
+    # grids; at lp=32 a 2^17-row chunk is ~4.3 GB of ephemerals -> OOM on
+    # 16 GB HBM.  2^16 keeps encode under ~2.2 GB.
+    builder = ChunkedDBBuilder(cfg, tree, encode_chunk=1 << 16,
                                spill_path=args.spill)
     done = 0
     ci = 0

@@ -47,6 +47,16 @@ class PQTConfig:
                                # the first max_bins non-empty (reference maxTrials)
     max_candidates: int = 4096  # candidate vectors gathered per query (k2)
     max_vec_per_bin: int = 1024  # per-bin candidate cap during gather
+    rerank_kernel: str = "auto"  # line-rerank implementation:
+                               # "xla"    = c1-unrolled compare-select
+                               #            (2*c1 masked passes over the
+                               #            (B, K, lp) lattice);
+                               # "pallas" = fused unpack + lane-gather
+                               #            kernel (ops/pallas/rerank.py,
+                               #            2*lp gathers per block);
+                               # "auto"   = pallas on TPU when the shape
+                               #            qualifies (compact payload,
+                               #            max_candidates % 1024 == 0).
     probe_kernel: str = "auto"  # occupancy-probe implementation:
                                # "xla"  = (B, E) row gather from the HBM
                                #          extent table;
@@ -203,6 +213,8 @@ class PQTConfig:
             raise ValueError(f"unknown gather_mode {self.gather_mode!r}")
         if self.probe_kernel not in ("auto", "xla", "vmem"):
             raise ValueError(f"unknown probe_kernel {self.probe_kernel!r}")
+        if self.rerank_kernel not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown rerank_kernel {self.rerank_kernel!r}")
         if self.slab_size < 1:
             raise ValueError("slab_size must be positive")
         if self.lambda_bits not in (8, 16):

@@ -330,6 +330,25 @@ def _enumerate_bins_pair(cfg: PQTConfig, h_pairs: jax.Array,
     return _finalize_bin_ids(cfg, acc, exact)
 
 
+def _use_pallas_rerank(cfg: PQTConfig, K: int) -> bool:
+    """Whether to reconstruct line distances with the fused Pallas kernel.
+
+    auto: TPU backend + shape preconditions (ops/pallas/rerank.supports;
+    K is the realized candidate-row count, which slab mode can round up).
+    """
+    if cfg.rerank_kernel == "xla":
+        return False
+    from pqt_tpu.ops.pallas.rerank import BLOCK, supports
+    ok = supports(cfg) and K % BLOCK == 0
+    if cfg.rerank_kernel == "pallas":
+        if not ok:
+            raise ValueError(
+                "rerank_kernel='pallas' needs the compact payload and "
+                f"candidate count ({K}) % {BLOCK} == 0")
+        return True
+    return ok and jax.default_backend() not in ("cpu", "gpu")
+
+
 def _use_vmem_probe(cfg: PQTConfig, hash_local: int, B: int, E: int) -> bool:
     """Whether to probe extents with the Pallas VMEM-resident kernel.
 
@@ -399,9 +418,15 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
     bins = _enumerate_bins_pair(cfg, h_pairs, exact)
     start, cnt = _probe_bins(cfg, bins, prefix2, bin_offset)
     rows, valid, _ = _collect_rows(cfg, payload, start, cnt)
-    cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(cfg, rows)
+    cand_ids = rows[..., 0]
     q_line = line_tables(cfg, tree, queries)               # (B, lp, c1)
-    dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
+    if _use_pallas_rerank(cfg, rows.shape[1]):
+        from pqt_tpu.ops.pallas.rerank import rerank_fused
+        q_pad = jnp.pad(q_line, ((0, 0), (0, 0), (0, 128 - cfg.c1)))
+        dists = rerank_fused(rows.transpose(0, 2, 1), q_pad)
+    else:
+        _, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(cfg, rows)
+        dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)

@@ -47,9 +47,12 @@ BLOCK = LANES * SUBLANES          # candidates per kernel block
 
 
 def supports(cfg) -> bool:
-    """Kernel preconditions: compact payload, lane-sized tables."""
-    return (cfg.payload_is_compact and cfg.c1 <= LANES
-            and cfg.max_candidates % BLOCK == 0)
+    """Kernel preconditions: compact payload, lane-sized tables.
+
+    The candidate-count divisibility (K % BLOCK) is checked by the caller
+    against the REALIZED row count (slab mode can round it up).
+    """
+    return cfg.payload_is_compact and cfg.c1 <= LANES
 
 
 def _kernel(rows_ref, q_ref, out_ref, *, lp: int):

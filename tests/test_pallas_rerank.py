@@ -23,7 +23,10 @@ def _random_payload(rng, n, lp):
 
 
 @pytest.mark.parametrize("B,K,lp", [(4, BLOCK, 16), (2, 2 * BLOCK, 32)])
-def test_rerank_fused_matches_xla(rng, B, K, lp):
+def test_rerank_fused_matches_xla(B, K, lp):
+    # Own rng: consuming the session fixture would shift the calibrated
+    # data of session-scoped fixtures in other modules (test order moves).
+    rng = np.random.default_rng(7 * K + lp)
     cfg = P.PQTConfig(dim=128 if lp == 16 else 256, p=4, c1=16, c2=16,
                       line_parts=lp, max_candidates=K)
     assert supports(cfg)
