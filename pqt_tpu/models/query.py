@@ -346,7 +346,9 @@ def _use_pallas_rerank(cfg: PQTConfig, K: int) -> bool:
                 "rerank_kernel='pallas' needs the compact payload and "
                 f"candidate count ({K}) % {BLOCK} == 0")
         return True
-    return ok and jax.default_backend() not in ("cpu", "gpu")
+    # auto: stays on XLA until the kernel's real-chip lowering is validated
+    # (opt in with rerank_kernel='pallas'; see benchmarks/ab_rerank.py).
+    return False
 
 
 def _use_vmem_probe(cfg: PQTConfig, hash_local: int, B: int, E: int) -> bool:
