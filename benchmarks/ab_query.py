@@ -78,14 +78,15 @@ def main():
             print(f"{name:12s} FAILED: {type(e).__name__}: {e}")
             continue
         ids = np.asarray(ids)
-        if ref_ids is None:
-            ref_ids = ids
-            agree = 1.0
+        if name == variants[0][0]:
+            ref_ids, agree = ids, "1.0000 (self)"
+        elif ref_ids is None:
+            agree = "n/a (baseline failed)"
         else:
-            agree = float((ids[:, 0] == ref_ids[:, 0]).mean())
+            agree = f"{float((ids[:, 0] == ref_ids[:, 0]).mean()):.4f}"
         qps = batch / (t / 1000)
         print(f"{name:12s} {t:8.2f} ms  {qps:9.0f} QPS  "
-              f"top1-agree={agree:.4f}", flush=True)
+              f"top1-agree={agree}", flush=True)
 
 
 if __name__ == "__main__":

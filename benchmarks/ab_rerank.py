@@ -71,12 +71,14 @@ def main():
             print(f"{name:8s} FAILED: {type(e).__name__}: {str(e)[:300]}")
             continue
         ids = np.asarray(ids)
-        if ref_ids is None:
-            ref_ids, agree = ids, 1.0
+        if name == "xla":
+            ref_ids, agree = ids, "1.0000 (self)"
+        elif ref_ids is None:
+            agree = "n/a (baseline failed)"
         else:
-            agree = float((ids[:, 0] == ref_ids[:, 0]).mean())
+            agree = f"{float((ids[:, 0] == ref_ids[:, 0]).mean()):.4f}"
         print(f"{name:8s} {t:7.2f} ms {batch / (t / 1000):8.0f} QPS  "
-              f"top1-agree={agree:.4f}", flush=True)
+              f"top1-agree={agree}", flush=True)
 
 
 if __name__ == "__main__":

@@ -54,9 +54,10 @@ class PQTConfig:
                                # "pallas" = fused unpack + lane-gather
                                #            kernel (ops/pallas/rerank.py,
                                #            2*lp gathers per block);
-                               # "auto"   = pallas on TPU when the shape
-                               #            qualifies (compact payload,
-                               #            max_candidates % 1024 == 0).
+                               # "auto"   = currently always XLA; pallas
+                               #            is opt-in pending the on-chip
+                               #            A/B verdict (ab_rerank.py,
+                               #            query._use_pallas_rerank).
     probe_kernel: str = "auto"  # occupancy-probe implementation:
                                # "xla"  = (B, E) row gather from the HBM
                                #          extent table;

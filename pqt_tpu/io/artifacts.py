@@ -80,6 +80,8 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
         arrays["pair_occ"] = np.asarray(db.pair_occ)
     if db.vectors is not None:
         arrays["vectors"] = np.asarray(db.vectors)
+    if db.vectors_csr is not None:
+        arrays["vectors_csr"] = np.asarray(db.vectors_csr)
     np.savez_compressed(_npz_path(path), **arrays)
 
 
@@ -89,6 +91,8 @@ def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
     with np.load(_npz_path(path), allow_pickle=False) as z:
         _check_config(str(z["config"]), cfg, _DB_FIELDS)
         vectors = jnp.asarray(z["vectors"]) if "vectors" in z else None
+        vectors_csr = (jnp.asarray(z["vectors_csr"])
+                       if "vectors_csr" in z else None)
         if "payload" in z:
             payload = z["payload"]
         else:   # format v1 stored ids/codes/t3 separately
@@ -100,7 +104,7 @@ def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
         db = PQTDatabase(
             prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
             payload=jnp.asarray(payload), pair_occ=pair_occ, vectors=vectors,
-            prefix2=jnp.asarray(prefix2))
+            prefix2=jnp.asarray(prefix2), vectors_csr=vectors_csr)
     if db.prefix.shape[0] != cfg.hash_size:
         raise ArtifactMismatch("hash table size mismatch")
     if db.payload.shape[1] != payload_width(cfg):

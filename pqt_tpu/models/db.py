@@ -63,6 +63,14 @@ class PQTDatabase(NamedTuple):
                                          # both the offset and the count of a
                                          # probed bin (the query path's probe
                                          # table; see query._probe_bins)
+    vectors_csr: Optional[jax.Array] = None  # (n, dim) raw vectors in CSR
+                                         # ORDER (position-aligned with
+                                         # payload).  The out-of-core
+                                         # builder spills vectors this way
+                                         # (bounded host RAM + contiguous
+                                         # shard slices); query_knn's exact
+                                         # path uses whichever of
+                                         # vectors/vectors_csr is present.
 
     @property
     def n_vectors(self) -> int:
@@ -429,17 +437,24 @@ class ChunkedDBBuilder:
             packed[s:e] = np.asarray(packed_c)[: e - s]
         self._hist += np.bincount(bins, minlength=self.cfg.hash_size)
         if self.spill_path:
-            # bounded RAM: encoded chunks go to disk, reread once at finalize
+            # bounded RAM: encoded chunks (and raw vectors, when kept) go to
+            # disk, reread once at finalize
             path = f"{self.spill_path}.chunk{len(self._bins)}.npz"
-            np.savez(path, bins=bins, packed=packed)
+            if self.keep_vectors:
+                np.savez(path, bins=bins, packed=packed, vecs=data)
+            else:
+                np.savez(path, bins=bins, packed=packed)
             self._bins.append(path)
             self._packed.append(path)
         else:
             self._bins.append(bins)
             self._packed.append(packed)
-        self._n += n
+            if self.keep_vectors:
+                self._vecs.append(data)
         if self.keep_vectors:
-            self._vecs.append(data)
+            self._vec_dtype = data.dtype
+            self._dim = data.shape[1]
+        self._n += n
 
     def finalize(self) -> PQTDatabase:
         cfg = self.cfg
@@ -451,9 +466,19 @@ class ChunkedDBBuilder:
         if n > np.iinfo(np.int32).max:
             raise NotImplementedError(
                 "CSR positions exceed int32; shard the build")
+        vec_mm = None
         if self.spill_path:
             payload = np.memmap(self.spill_path, np.int32, mode="w+",
                                 shape=(n, w))
+            if self.keep_vectors:
+                # Raw vectors spill too, in CSR ORDER — bounded host RAM
+                # for the billion path (the reference pins them all in host
+                # DRAM instead, test1B.cpp:1121-1125), and a hash-range
+                # shard's vector slice stays contiguous for
+                # parallel/sharded.shard_database.
+                vec_mm = np.memmap(f"{self.spill_path}.vecs",
+                                   self._vec_dtype, mode="w+",
+                                   shape=(n, self._dim))
         else:
             payload = np.empty((n, w), np.int32)
         # Streaming counting sort: chunks arrive in ascending id order, and
@@ -461,9 +486,12 @@ class ChunkedDBBuilder:
         # bin ids stay ascending (same determinism as build_database).
         cursor = prefix.copy()
         for bins, rows in zip(self._bins, self._packed):
+            vecs_chunk = None
             if isinstance(bins, str):               # spilled chunk
                 with np.load(bins) as z:
                     bins, rows = z["bins"], z["packed"]
+                    if vec_mm is not None:
+                        vecs_chunk = z["vecs"]
             order = np.argsort(bins, kind="stable")
             sb = bins[order]
             # within-run offsets of the sorted chunk
@@ -472,6 +500,8 @@ class ChunkedDBBuilder:
             within = np.arange(sb.shape[0], dtype=np.int64) - starts[run_id]
             pos = cursor[sb] + within
             payload[pos] = rows[order]
+            if vecs_chunk is not None:
+                vec_mm[pos] = vecs_chunk[order]
             np.add.at(cursor, sb[starts],
                       np.diff(np.r_[starts, sb.shape[0]]))
         prefix32 = prefix.astype(np.int32)
@@ -484,4 +514,6 @@ class ChunkedDBBuilder:
             payload=jnp.asarray(payload),
             pair_occ=self._pair_occ,
             vectors=jnp.asarray(vecs) if vecs is not None else None,
-            prefix2=jnp.asarray(prefix2))
+            prefix2=jnp.asarray(prefix2),
+            vectors_csr=(jnp.asarray(vec_mm) if vec_mm is not None
+                         else None))

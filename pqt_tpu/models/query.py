@@ -345,13 +345,18 @@ def _use_pallas_rerank(cfg: PQTConfig, K: int) -> bool:
             raise ValueError(
                 "rerank_kernel='pallas' needs the compact payload and "
                 f"candidate count ({K}) % {BLOCK} == 0")
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "rerank_kernel='pallas' requires a TPU backend (Mosaic "
+                f"lowering); current backend is '{jax.default_backend()}'. "
+                "Use rerank_kernel='xla' here.")
         return True
     # auto: stays on XLA until the kernel's real-chip lowering is validated
     # (opt in with rerank_kernel='pallas'; see benchmarks/ab_rerank.py).
     return False
 
 
-def _use_vmem_probe(cfg: PQTConfig, hash_local: int, B: int, E: int) -> bool:
+def _use_vmem_probe(cfg: PQTConfig, hash_local: int, E: int) -> bool:
     """Whether to probe extents with the Pallas VMEM-resident kernel.
 
     Measured verdict (r3, TPU v5e): Mosaic cannot lower a general
@@ -369,8 +374,7 @@ def _use_vmem_probe(cfg: PQTConfig, hash_local: int, B: int, E: int) -> bool:
     if not (fits_vmem(hash_local) and E % 128 == 0):
         raise ValueError(
             f"probe_kernel='vmem' needs hash table ({hash_local}) within "
-            "the VMEM budget, hash %% 128 == 0, and enum width "
-            f"({E}) %% 128 == 0")
+            f"the VMEM budget and enum width ({E}) % 128 == 0")
     return True
 
 
@@ -388,7 +392,7 @@ def _probe_bins(cfg: PQTConfig, bins: jax.Array, prefix2: jax.Array,
         bins = bins - bin_offset
     in_range = (bins >= 0) & (bins < local)
     safe = jnp.where(in_range, bins, 0)
-    if _use_vmem_probe(cfg, local, B, E):
+    if _use_vmem_probe(cfg, local, E):
         from pqt_tpu.ops.pallas.probe import probe_extents_vmem
         start, cnt = probe_extents_vmem(prefix2, safe)
         cnt = jnp.where(in_range, cnt, 0)
@@ -553,36 +557,46 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     """
     queries = queries.astype(jnp.float32)
     if exact_rerank:
-        assert db.vectors is not None, "exact rerank needs keep_vectors=True"
-        if cfg.pair_pipeline_enabled:
-            cand_ids, line_d, _ = query_core_pair(
-                cfg, tree, db.prefix2, db.payload, queries, k,
-                pair_occ=db.pair_occ, want_candidates=True)
-            valid = jnp.isfinite(line_d)
+        assert db.vectors is not None or db.vectors_csr is not None, \
+            "exact rerank needs keep_vectors=True"
+        if db.vectors is None:
+            # Out-of-core builds spill raw vectors in CSR order; the
+            # position-indexed exact core reads them directly.
+            top_ids, top_dists, n_cand = query_core_exact(
+                cfg, tree, db.prefix2, db.payload, db.vectors_csr,
+                queries, k, pair_occ=db.pair_occ)
+            k_eff = top_ids.shape[-1]
         else:
-            sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree, queries)
-            bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes,
-                                               db.counts,
-                                               pair_occ=db.pair_occ)
-            prefix_of_bins = db.prefix[bins]
-            positions, valid = binning.gather_candidates(
-                prefix_of_bins, bin_counts, cfg.max_candidates,
-                cfg.max_vec_per_bin)
-            safe_pos = jnp.where(valid, positions, 0)
-            cand_ids = db.payload[safe_pos, 0]        # (B, K)
-        safe_ids = jnp.where(valid, cand_ids, 0)
-        cand_vecs = db.vectors[safe_ids].astype(jnp.float32)  # (B,K,dim) by id
-        diff = cand_vecs - queries[:, None, :]
-        dists = jnp.sum(diff * diff, axis=-1)
-        dists = jnp.where(valid, dists, jnp.inf)
-        if cfg.dedup_candidates:
-            dists = _mask_duplicate_candidates(cand_ids, valid, dists)
-        k_eff = min(k, cfg.max_candidates)
-        neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
-        top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
-        top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
-        top_dists = -neg_top
-        n_cand = jnp.sum(valid, axis=-1)
+            if cfg.pair_pipeline_enabled:
+                cand_ids, line_d, _ = query_core_pair(
+                    cfg, tree, db.prefix2, db.payload, queries, k,
+                    pair_occ=db.pair_occ, want_candidates=True)
+                valid = jnp.isfinite(line_d)
+            else:
+                sorted_d2, sorted_codes = _sorted_part_lists(cfg, tree,
+                                                             queries)
+                bins, bin_counts = _enumerate_bins(
+                    cfg, sorted_d2, sorted_codes, db.counts,
+                    pair_occ=db.pair_occ)
+                prefix_of_bins = db.prefix[bins]
+                positions, valid = binning.gather_candidates(
+                    prefix_of_bins, bin_counts, cfg.max_candidates,
+                    cfg.max_vec_per_bin)
+                safe_pos = jnp.where(valid, positions, 0)
+                cand_ids = db.payload[safe_pos, 0]        # (B, K)
+            safe_ids = jnp.where(valid, cand_ids, 0)
+            cand_vecs = db.vectors[safe_ids].astype(jnp.float32)  # by id
+            diff = cand_vecs - queries[:, None, :]
+            dists = jnp.sum(diff * diff, axis=-1)
+            dists = jnp.where(valid, dists, jnp.inf)
+            if cfg.dedup_candidates:
+                dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+            k_eff = min(k, cfg.max_candidates)
+            neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+            top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+            top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+            top_dists = -neg_top
+            n_cand = jnp.sum(valid, axis=-1)
     else:
         if cfg.pair_pipeline_enabled:
             top_ids, top_dists, n_cand = query_core_pair(

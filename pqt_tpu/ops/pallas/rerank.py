@@ -47,12 +47,16 @@ BLOCK = LANES * SUBLANES          # candidates per kernel block
 
 
 def supports(cfg) -> bool:
-    """Kernel preconditions: compact payload, lane-sized tables.
+    """Kernel preconditions: compact payload + 4-bit (p1,p2) codes.
 
-    The candidate-count divisibility (K % BLOCK) is checked by the caller
-    against the REALIZED row count (slab mode can round it up).
+    The 4-bit A/B decode in `_kernel` requires c1 <= 16; today
+    `payload_is_compact` already implies that, but check it explicitly so
+    the guard matches the real kernel requirement rather than relying on
+    the implication.  The candidate-count divisibility (K % BLOCK) is
+    checked by the caller against the REALIZED row count (slab mode can
+    round it up).
     """
-    return cfg.payload_is_compact and cfg.c1 <= LANES
+    return cfg.payload_is_compact and cfg.c1 <= 16
 
 
 def _kernel(rows_ref, q_ref, out_ref, *, lp: int):

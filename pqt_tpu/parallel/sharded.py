@@ -91,13 +91,18 @@ def shard_database(cfg: PQTConfig, db: PQTDatabase, n_shards: int,
     sh_payload[:, :, 0] = -1          # id column: -1 marks padding
     vectors_csr = None
     sh_vectors = None
-    if db.vectors is not None:
+    if db.vectors_csr is not None:
+        # Out-of-core builds already spilled vectors in CSR order.
+        vectors_csr = np.asarray(db.vectors_csr)
+    elif db.vectors is not None:
         # Re-lay raw vectors in CSR order so each shard's slice is
         # contiguous and position-indexed, like the payload (the sharded
         # exact re-rank reads vectors_csr[position]).
         vec = np.asarray(db.vectors)
         vectors_csr = vec[np.asarray(db.ids)]
-        sh_vectors = np.zeros((n_shards, max_n, vec.shape[1]), vec.dtype)
+    if vectors_csr is not None:
+        sh_vectors = np.zeros((n_shards, max_n, vectors_csr.shape[1]),
+                              vectors_csr.dtype)
     for s in range(n_shards):
         sh_prefix[s] = prefix[s * span:(s + 1) * span] - starts[s]
         sh_counts[s] = counts[s * span:(s + 1) * span]

