@@ -1,8 +1,9 @@
 """A/B query-path variants on cached 1M artifacts (real chip).
 
-Times query_knn end-to-end for combinations of probe_kernel (xla | vmem)
-and gather_mode (rows | slabs), verifying result parity against the
-baseline variant as it goes.  Uses the artifact cache written by
+Times query_knn end-to-end for the gather_mode variants (rows | slabs),
+verifying result parity against the baseline variant as it goes.  (The
+probe_kernel=vmem variants were retired with the kernel in r4 — see
+query._probe_bins.)  Uses the artifact cache written by
 benchmarks/profile_pair.py (run that first if the cache is cold).
 
 Run:  python benchmarks/ab_query.py [n_db] [batch]
@@ -62,10 +63,8 @@ def main():
     print(f"n={n} batch={batch} device={jax.devices()[0]}", flush=True)
 
     variants = [
-        ("xla/rows", dict(probe_kernel="xla", gather_mode="rows")),
-        ("vmem/rows", dict(probe_kernel="vmem", gather_mode="rows")),
-        ("xla/slabs", dict(probe_kernel="xla", gather_mode="slabs")),
-        ("vmem/slabs", dict(probe_kernel="vmem", gather_mode="slabs")),
+        ("xla/rows", dict(gather_mode="rows")),
+        ("xla/slabs", dict(gather_mode="slabs")),
     ]
     ref_ids = None
     for name, kw in variants:

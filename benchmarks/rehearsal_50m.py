@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--bins", type=int, default=4096)
     ap.add_argument("--cand", type=int, default=8192)
     ap.add_argument("--enum", dest="enum_w", type=int, default=8192)
+    ap.add_argument("--keep-vectors", action="store_true",
+                    help="spill raw vectors (CSR memmap) and ALSO run the "
+                         "exact re-rank path (validates the r4 vector-spill "
+                         "machinery at scale)")
     args = ap.parse_args()
     n, dim = args.n, 128
 
@@ -92,7 +96,8 @@ def main():
     # grids; at lp=32 a 2^17-row chunk is ~4.3 GB of ephemerals -> OOM on
     # 16 GB HBM.  2^16 keeps encode under ~2.2 GB.
     builder = ChunkedDBBuilder(cfg, tree, encode_chunk=1 << 16,
-                               spill_path=args.spill)
+                               spill_path=args.spill,
+                               keep_vectors=args.keep_vectors)
     done = 0
     ci = 0
     while done < n:
@@ -109,14 +114,40 @@ def main():
     t_build = time.time() - t0
     print(f"# build {t_build:.1f}s", file=sys.stderr, flush=True)
 
-    # --- approximate ground truth ------------------------------------------
-    # Exact 50M x 512 brute force on-chip would dominate the rehearsal;
-    # sample-based GT: exact NN within a 2M-row strided sample PLUS the
-    # query pipeline's own candidates is not independent, so instead scan
-    # the full DB chunk-wise with approx_max_k per chunk and merge — recall
-    # target 0.999 makes missed-NN probability negligible for R@1/R@10.
-    t0 = time.time()
+    # --- occupancy histogram (test1B.cpp:1057-1090 mode-3 analog) ----------
+    from pqt_tpu.utils.metrics import occupancy_histogram
+    occ = occupancy_histogram(np.asarray(db.counts))
+    print(f"# occupancy {occ}", file=sys.stderr, flush=True)
+
+    # --- query timing FIRST (r4 session-state rule: the brute-force scan
+    # program poisons the fast dispatch path — BASELINE.md r4) -------------
     qd = jnp.asarray(queries)
+
+    def timed(fn):
+        jax.block_until_ready(fn(qd[:args.batch]))
+        best = 0.0
+        outs = None
+        for _ in range(3):
+            t0 = time.time()
+            outs = [fn(qd[s:s + args.batch])
+                    for s in range(0, args.queries, args.batch)]
+            jax.block_until_ready(outs)
+            best = max(best, args.queries / (time.time() - t0))
+        ids = np.asarray(jnp.concatenate(outs))
+        return best, ids
+
+    qps_line, ids = timed(
+        lambda x: P.query_knn(cfg, tree, db, x, 100).indices)
+    qps_exact, ids_exact = (None, None)
+    if db.vectors_csr is not None:
+        qps_exact, ids_exact = timed(
+            lambda x: P.query_knn(cfg, tree, db, x, 100, True).indices)
+
+    # --- approximate ground truth (AFTER all timings) ----------------------
+    # Exact 50M x 512 brute force on-chip would dominate the rehearsal;
+    # scan the full DB chunk-wise with approx_max_k per chunk and merge —
+    # recall target 0.999 makes missed-NN probability negligible for R@1.
+    t0 = time.time()
     best_d = np.full((args.queries, 100), np.inf, np.float32)
     best_i = np.full((args.queries, 100), -1, np.int64)
     off = 0
@@ -146,22 +177,11 @@ def main():
     t_gt = time.time() - t0
     gt = best_i
 
-    # --- query -------------------------------------------------------------
-    def q_fn(x):
-        return P.query_knn(cfg, tree, db, x, 100).indices
-    jax.block_until_ready(q_fn(qd[:args.batch]))
-    t0 = time.time()
-    outs = [q_fn(qd[s:s + args.batch])
-            for s in range(0, args.queries, args.batch)]
-    jax.block_until_ready(outs[-1])
-    dt = time.time() - t0
-    ids = np.concatenate([np.asarray(o) for o in outs])
-
     rec = recall_at(ids, gt, ks=(10, 100))
     inter = intersection_at(ids, gt, ks=(10, 100))
-    print(json.dumps({
+    out = {
         "metric": f"rehearsal_sift1b_shape_n{n}_b{args.batch}",
-        "value": round(args.queries / dt, 1),
+        "value": round(qps_line, 1),
         "unit": "queries/s",
         "recall_at_1": round(float((ids[:, 0] == gt[:, 0]).mean()), 4),
         "nn_in_top10": round(rec["R@10"], 4),
@@ -173,8 +193,18 @@ def main():
         "n_db": n,
         "hash_size": cfg.hash_size,
         "probe_budget": f"{cfg.max_bins}/{cfg.max_candidates}",
+        "occupancy": occ,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if qps_exact is not None:
+        out.update({
+            "exact_qps": round(qps_exact, 1),
+            "exact_recall_at_1": round(
+                float((ids_exact[:, 0] == gt[:, 0]).mean()), 4),
+            "exact_top10_intersection": round(intersection_at(
+                ids_exact, gt, ks=(10,))["top10_intersection"], 4),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,15 +58,10 @@ class PQTConfig:
                                #            is opt-in pending the on-chip
                                #            A/B verdict (ab_rerank.py,
                                #            query._use_pallas_rerank).
-    probe_kernel: str = "auto"  # occupancy-probe implementation:
-                               # "xla"  = (B, E) row gather from the HBM
-                               #          extent table;
-                               # "vmem" = Pallas kernel with the whole
-                               #          extent table resident in VMEM
-                               #          (ops/pallas/probe.py) — no HBM
-                               #          gather at all;
-                               # "auto" = vmem on TPU when the table fits
-                               #          the VMEM budget, else xla.
+    # (probe_kernel was retired in r4: the VMEM-resident Pallas probe was a
+    # closed experiment — Mosaic cannot lower the VMEM vector gather, and
+    # the XLA extent-row gather is already the hardware scattered-load
+    # path; see query._probe_bins.)
     gather_mode: str = "rows"  # candidate collection from probed bins:
                                # "rows"  = per-row positions (one scattered
                                #           row gather per candidate);
@@ -212,8 +207,6 @@ class PQTConfig:
             raise ValueError(f"unknown multidb_rank {self.multidb_rank!r}")
         if self.gather_mode not in ("rows", "slabs"):
             raise ValueError(f"unknown gather_mode {self.gather_mode!r}")
-        if self.probe_kernel not in ("auto", "xla", "vmem"):
-            raise ValueError(f"unknown probe_kernel {self.probe_kernel!r}")
         if self.rerank_kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown rerank_kernel {self.rerank_kernel!r}")
         if self.slab_size < 1:

@@ -356,28 +356,6 @@ def _use_pallas_rerank(cfg: PQTConfig, K: int) -> bool:
     return False
 
 
-def _use_vmem_probe(cfg: PQTConfig, hash_local: int, E: int) -> bool:
-    """Whether to probe extents with the Pallas VMEM-resident kernel.
-
-    Measured verdict (r3, TPU v5e): Mosaic cannot lower a general
-    vector gather from VMEM ("Cannot do int indexing on TPU") — only
-    lane-dim take_along_axis — and a 2^20-slot table gather cannot be
-    decomposed into lane+sublane gathers without a sort.  The kernel
-    therefore runs only in interpret mode (tests) and 'auto' always uses
-    the XLA gather, which lowers to the hardware's native scattered-load
-    path at ~7 ns/index (benchmarks/ab_query.py).  'vmem' stays opt-in
-    for interpret-mode parity runs.
-    """
-    if cfg.probe_kernel != "vmem":
-        return False
-    from pqt_tpu.ops.pallas.probe import fits_vmem
-    if not (fits_vmem(hash_local) and E % 128 == 0):
-        raise ValueError(
-            f"probe_kernel='vmem' needs hash table ({hash_local}) within "
-            f"the VMEM budget and enum width ({E}) % 128 == 0")
-    return True
-
-
 def _probe_bins(cfg: PQTConfig, bins: jax.Array, prefix2: jax.Array,
                 bin_offset=None):
     """Occupancy probe + compaction: ONE extent-row gather per enumerated bin.
@@ -385,6 +363,14 @@ def _probe_bins(cfg: PQTConfig, bins: jax.Array, prefix2: jax.Array,
     bins: (B, E) slot ids.  prefix2: (local_hash, 2) int32 (start, end).
     Returns (start (B, max_bins), count (B, max_bins)) of the first max_bins
     non-empty probed bins, in enumeration order.
+
+    Closed experiment (r3, TPU v5e): a Pallas kernel holding the whole
+    extent table in VMEM cannot lower — Mosaic has no general vector
+    gather from VMEM ("Cannot do int indexing on TPU"), only lane-dim
+    take_along_axis, and a 2^20-slot table gather cannot be decomposed
+    into lane+sublane gathers without a sort.  The XLA row gather below IS
+    the hardware's native scattered-load path (~7 ns/index measured,
+    benchmarks/ab_query.py), so the kernel was retired in r4.
     """
     B, E = bins.shape
     local = prefix2.shape[0]
@@ -392,14 +378,9 @@ def _probe_bins(cfg: PQTConfig, bins: jax.Array, prefix2: jax.Array,
         bins = bins - bin_offset
     in_range = (bins >= 0) & (bins < local)
     safe = jnp.where(in_range, bins, 0)
-    if _use_vmem_probe(cfg, local, E):
-        from pqt_tpu.ops.pallas.probe import probe_extents_vmem
-        start, cnt = probe_extents_vmem(prefix2, safe)
-        cnt = jnp.where(in_range, cnt, 0)
-    else:
-        ext = prefix2[safe]                                # (B, E, 2) gather
-        start = ext[..., 0]
-        cnt = jnp.where(in_range, ext[..., 1] - ext[..., 0], 0)
+    ext = prefix2[safe]                                    # (B, E, 2) gather
+    start = ext[..., 0]
+    cnt = jnp.where(in_range, ext[..., 1] - ext[..., 0], 0)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, E), 1)
     key = jnp.where(cnt > 0, pos, jnp.int32(E))
     _, start_s, cnt_s = jax.lax.sort((key, start, cnt), dimension=-1,
