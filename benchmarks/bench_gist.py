@@ -1,0 +1,129 @@
+"""GIST1M-shape on-chip bench (960-d, lp=32) — VERDICT r3 missing #4.
+
+Wide-dim stresses the line-table width (lp=32 query tables, 960-d exact
+gathers) differently than dim=128; dim is a free parameter throughout the
+reference (ProQuantization.cu:25-29).  Same clean-session protocol as
+bench.py: timings before any download, GT / metrics after.
+
+Emits ONE BENCH-style JSON line.  Run:
+  python benchmarks/bench_gist.py [--n 1000000] [--queries 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pqt_tpu as P
+from pqt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+from pqt_tpu.utils.metrics import intersection_at
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--bins", type=int, default=512)
+    ap.add_argument("--cand", type=int, default=1024)
+    args = ap.parse_args()
+    n, dim, B = args.n, 960, args.batch
+
+    # GIST-like fixture: float descriptors in [0, 1], two-level clusters
+    # (same generative shape as bench.make_sift_like, float-valued).
+    rng = np.random.default_rng(0)
+    n_sub = 1024 * 32
+    centers = rng.uniform(0, 1, (1024, dim)).astype(np.float32)
+    sub = (np.repeat(centers, 32, axis=0) +
+           rng.normal(0, 0.08, (n_sub, dim))).astype(np.float32)
+    data = np.empty((n, dim), np.float32)
+    chunk = 1 << 18
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        which = rng.integers(0, n_sub, e - s)
+        data[s:e] = sub[which] + rng.normal(0, 0.03, (e - s, dim))
+    qwhich = rng.integers(0, n_sub, args.queries)
+    queries = (sub[qwhich] +
+               rng.normal(0, 0.03, (args.queries, dim))).astype(np.float32)
+
+    hash_size = min(P.GIST1M_CONFIG.hash_size,
+                    max(1 << 18, 1 << (n - 1).bit_length()))
+    cfg = P.GIST1M_CONFIG.replace(
+        kmeans_iters=8, train_subsample=100_000, hash_size=hash_size,
+        max_bins=args.bins, max_candidates=args.cand, pair_top_m=128,
+        enum_width=args.bins, pair_filter=False)
+
+    t0 = time.time()
+    tree = P.train_tree(cfg, data[:200_000])
+    jax.block_until_ready(tree.cb2)
+    t_train = time.time() - t0
+    t0 = time.time()
+    db = P.build_database(cfg, tree, data, encode_chunk=1 << 15,
+                          keep_vectors=True)
+    jax.block_until_ready(db.payload)
+    t_build = time.time() - t0
+    qd = jnp.asarray(queries)
+    print(f"# train {t_train:.1f}s build {t_build:.1f}s", file=sys.stderr,
+          flush=True)
+
+    fns = [
+        ("exact", lambda x: P.query_knn(cfg, tree, db, x, 100, True).indices),
+        ("line", lambda x: P.query_knn(cfg, tree, db, x, 100).indices),
+    ]
+    for _, fn in fns:
+        jax.block_until_ready(fn(qd[:B]))
+    qps, kept = {}, {}
+    nb = args.queries // B
+    for name, fn in fns:
+        best = 0.0
+        outs = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(qd[s * B:(s + 1) * B]) for s in range(nb)]
+            jax.block_until_ready(outs)
+            best = max(best, args.queries / (time.perf_counter() - t0))
+        qps[name], kept[name] = best, outs
+    ids = {name: np.asarray(jnp.concatenate(o)) for name, o in kept.items()}
+
+    # Exact GT on host (torch f64) — no TPU brute force (session rule).
+    import torch
+    db_t = torch.from_numpy(data).to(torch.float64)
+    db_n = (db_t * db_t).sum(1)
+    gt = np.empty((args.queries, 100), np.int64)
+    for s in range(0, args.queries, 64):
+        q = torch.from_numpy(queries[s:s + 64]).to(torch.float64)
+        d = (q * q).sum(1)[:, None] + db_n[None, :] - 2.0 * (q @ db_t.T)
+        gt[s:s + 64] = torch.topk(d, 100, dim=1, largest=False)[1].numpy()
+
+    out = {
+        "metric": f"qps_gist1m_like_n{n}_b{B}_exact_rerank",
+        "value": round(qps["exact"], 1),
+        "unit": "queries/s",
+        "recall_at_1": round(float((ids["exact"][:, 0] == gt[:, 0]).mean()),
+                             4),
+        "top10_intersection": round(intersection_at(
+            ids["exact"], gt, ks=(10,))["top10_intersection"], 4),
+        "line_qps": round(qps["line"], 1),
+        "line_top10_intersection": round(intersection_at(
+            ids["line"], gt, ks=(10,))["top10_intersection"], 4),
+        "train_s": round(t_train, 1),
+        "build_s": round(t_build, 1),
+        "n_db": n,
+        "dim": dim,
+        "line_parts": cfg.line_parts,
+        "probe_budget": f"{cfg.max_bins}/{cfg.max_candidates}",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

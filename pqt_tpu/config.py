@@ -54,9 +54,9 @@ class PQTConfig:
                                # "pallas" = fused unpack + lane-gather
                                #            kernel (ops/pallas/rerank.py,
                                #            2*lp gathers per block);
-                               # "auto"   = currently always XLA; pallas
-                               #            is opt-in pending the on-chip
-                               #            A/B verdict (ab_rerank.py,
+                               # "auto"   = XLA, by measured verdict (r4
+                               #            A/B: pallas is correct on chip
+                               #            but ~100x slower; see
                                #            query._use_pallas_rerank).
     # (probe_kernel was retired in r4: the VMEM-resident Pallas probe was a
     # closed experiment — Mosaic cannot lower the VMEM vector gather, and

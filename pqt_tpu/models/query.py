@@ -333,8 +333,14 @@ def _enumerate_bins_pair(cfg: PQTConfig, h_pairs: jax.Array,
 def _use_pallas_rerank(cfg: PQTConfig, K: int) -> bool:
     """Whether to reconstruct line distances with the fused Pallas kernel.
 
-    auto: TPU backend + shape preconditions (ops/pallas/rerank.supports;
-    K is the realized candidate-row count, which slab mode can round up).
+    MEASURED VERDICT (r4, TPU v5e, benchmarks/ab_rerank.py): the Pallas
+    kernel is bit-correct on chip (top-1 agreement 1.0) but ~100x SLOWER
+    than the XLA c1-unrolled compare-select (6.9 ms vs 0.06 ms per
+    256-query batch) — Mosaic's per-block lane gathers cannot compete with
+    XLA's fused vectorized lowering of the same math.  'auto' therefore
+    resolves to XLA permanently; 'pallas' stays opt-in as a parity/lowering
+    testbed (K is the realized candidate-row count, which slab mode can
+    round up).
     """
     if cfg.rerank_kernel == "xla":
         return False
@@ -351,8 +357,7 @@ def _use_pallas_rerank(cfg: PQTConfig, K: int) -> bool:
                 f"lowering); current backend is '{jax.default_backend()}'. "
                 "Use rerank_kernel='xla' here.")
         return True
-    # auto: stays on XLA until the kernel's real-chip lowering is validated
-    # (opt in with rerank_kernel='pallas'; see benchmarks/ab_rerank.py).
+    # auto = XLA by measurement (see docstring).
     return False
 
 
