@@ -7,6 +7,12 @@ bench.py: timings before any download, GT / metrics after.
 
 Emits ONE BENCH-style JSON line.  Run:
   python benchmarks/bench_gist.py [--n 1000000] [--queries 512]
+
+Two-stage internally (like bench.py): device->host downloads fail with
+ResourceExhausted in sessions that have executed many heavy dispatches
+with multi-GB residents (r4 relay observation), so the timing stage
+downloads nothing and a fresh recall stage rebuilds deterministically and
+downloads each batch immediately.
 """
 
 import argparse
@@ -34,8 +40,38 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--bins", type=int, default=512)
     ap.add_argument("--cand", type=int, default=1024)
+    ap.add_argument("--mode", default="full",
+                    choices=["full", "measure", "recall"])
     args = ap.parse_args()
     n, dim, B = args.n, 960, args.batch
+
+    if args.mode == "full":
+        import subprocess
+        base = [sys.executable, os.path.abspath(__file__),
+                "--n", str(n), "--queries", str(args.queries),
+                "--batch", str(B), "--bins", str(args.bins),
+                "--cand", str(args.cand)]
+        merged = {}
+        for mode in ("measure", "recall"):
+            env = dict(os.environ)
+            if mode == "recall":
+                # recall is backend-independent; the TPU relay cannot
+                # serve D2H from a session that uploaded the 3.8 GB of
+                # 960-d build chunks, so recall runs on the CPU backend
+                # with the tree the measure stage trained.
+                env["PALLAS_AXON_POOL_IPS"] = ""
+                env["JAX_PLATFORMS"] = "cpu"
+            r = subprocess.run(base + ["--mode", mode], env=env,
+                               capture_output=True, text=True, timeout=5400)
+            sys.stderr.write(r.stderr[-2000:])
+            if r.returncode != 0:
+                sys.stderr.write(r.stdout[-1000:])
+                raise SystemExit(f"gist stage {mode} failed")
+            merged.update(json.loads(
+                [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("{")][-1]))
+        print(json.dumps(merged))
+        return
 
     # GIST-like fixture: float descriptors in [0, 1], two-level clusters
     # (same generative shape as bench.make_sift_like, float-valued).
@@ -61,13 +97,21 @@ def main():
         max_bins=args.bins, max_candidates=args.cand, pair_top_m=128,
         enum_width=args.bins, pair_filter=False)
 
+    from pqt_tpu.io import artifacts
+    tree_path = os.path.join("/tmp", f"pqt_gist_tree_n{n}")
     t0 = time.time()
-    tree = P.train_tree(cfg, data[:200_000])
-    jax.block_until_ready(tree.cb2)
+    if args.mode == "recall":
+        tree = artifacts.load_tree(tree_path, cfg)   # the measure-stage tree
+    else:
+        tree = P.train_tree(cfg, data[:200_000])
+        jax.block_until_ready(tree.cb2)
+        # save IMMEDIATELY: small downloads still work this early in the
+        # session's life
+        artifacts.save_tree(tree_path, cfg, tree)
     t_train = time.time() - t0
     t0 = time.time()
-    db = P.build_database(cfg, tree, data, encode_chunk=1 << 15,
-                          keep_vectors=True)
+    db = P.build_database(cfg, tree, data, encode_chunk=1 << 14,
+                          keep_vectors=(args.mode == "measure"))
     jax.block_until_ready(db.payload)
     t_build = time.time() - t0
     qd = jnp.asarray(queries)
@@ -78,20 +122,64 @@ def main():
         ("exact", lambda x: P.query_knn(cfg, tree, db, x, 100, True).indices),
         ("line", lambda x: P.query_knn(cfg, tree, db, x, 100).indices),
     ]
-    for _, fn in fns:
-        jax.block_until_ready(fn(qd[:B]))
-    qps, kept = {}, {}
-    nb = args.queries // B
-    for name, fn in fns:
-        best = 0.0
-        outs = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [fn(qd[s * B:(s + 1) * B]) for s in range(nb)]
-            jax.block_until_ready(outs)
-            best = max(best, args.queries / (time.perf_counter() - t0))
-        qps[name], kept[name] = best, outs
-    ids = {name: np.asarray(jnp.concatenate(o)) for name, o in kept.items()}
+    if args.mode == "measure":
+        for _, fn in fns:
+            jax.block_until_ready(fn(qd[:B]))
+        qps = {}
+        nb = args.queries // B
+        for name, fn in fns:
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [fn(qd[s * B:(s + 1) * B]) for s in range(nb)]
+                jax.block_until_ready(outs)
+                best = max(best, args.queries / (time.perf_counter() - t0))
+            qps[name] = best
+            print(f"# {name} {best:.0f} QPS", file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": f"qps_gist1m_like_n{n}_b{B}_exact_rerank",
+            "value": round(qps["exact"], 1),
+            "unit": "queries/s",
+            "line_qps": round(qps["line"], 1),
+            "train_s": round(t_train, 1),
+            "build_s": round(t_build, 1),
+            "n_db": n,
+            "dim": dim,
+            "line_parts": cfg.line_parts,
+            "probe_budget": f"{cfg.max_bins}/{cfg.max_candidates}",
+            "device": str(jax.devices()[0]),
+        }))
+        return
+
+    # recall mode: downloads from a session holding the 3.84 GB vector
+    # table fail outright (relay ResourceExhausted at >~2 GB residents,
+    # r4), so recall is computed WITHOUT device-resident vectors: the
+    # line path runs as-is, and "exact" = the same candidate set re-ranked
+    # by exact f64 distance on the host (identical ids to the device
+    # exact path modulo ties).
+    from pqt_tpu.models.query import query_candidates
+    db = db._replace(vectors=None)
+    ids = {}
+    rows = []
+    for s in range(0, args.queries, B):
+        rows.append(np.asarray(P.query_knn(cfg, tree, db, qd[s:s + B],
+                                           100).indices))
+    ids["line"] = np.concatenate(rows)
+    ex_rows = []
+    for s in range(0, args.queries, B):
+        ci, cv = query_candidates(cfg, tree, db, qd[s:s + B])
+        ci, cv = np.asarray(ci), np.asarray(cv)
+        block = np.full((ci.shape[0], 100), -1, np.int64)
+        for j in range(ci.shape[0]):
+            cand = ci[j][cv[j] & (ci[j] >= 0)]
+            if cand.size == 0:
+                continue
+            d = ((data[cand].astype(np.float64) -
+                  queries[s + j].astype(np.float64)) ** 2).sum(1)
+            order = np.argsort(d, kind="stable")[:100]
+            block[j, :order.size] = cand[order]
+        ex_rows.append(block)
+    ids["exact"] = np.concatenate(ex_rows)
 
     # Exact GT on host (torch f64) — no TPU brute force (session rule).
     import torch
@@ -103,26 +191,14 @@ def main():
         d = (q * q).sum(1)[:, None] + db_n[None, :] - 2.0 * (q @ db_t.T)
         gt[s:s + 64] = torch.topk(d, 100, dim=1, largest=False)[1].numpy()
 
-    out = {
-        "metric": f"qps_gist1m_like_n{n}_b{B}_exact_rerank",
-        "value": round(qps["exact"], 1),
-        "unit": "queries/s",
+    print(json.dumps({
         "recall_at_1": round(float((ids["exact"][:, 0] == gt[:, 0]).mean()),
                              4),
         "top10_intersection": round(intersection_at(
             ids["exact"], gt, ks=(10,))["top10_intersection"], 4),
-        "line_qps": round(qps["line"], 1),
         "line_top10_intersection": round(intersection_at(
             ids["line"], gt, ks=(10,))["top10_intersection"], 4),
-        "train_s": round(t_train, 1),
-        "build_s": round(t_build, 1),
-        "n_db": n,
-        "dim": dim,
-        "line_parts": cfg.line_parts,
-        "probe_budget": f"{cfg.max_bins}/{cfg.max_candidates}",
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(out))
+    }))
 
 
 if __name__ == "__main__":

@@ -126,14 +126,17 @@ def main():
     def timed(fn):
         jax.block_until_ready(fn(qd[:args.batch]))
         best = 0.0
-        outs = None
         for _ in range(3):
             t0 = time.time()
             outs = [fn(qd[s:s + args.batch])
                     for s in range(0, args.queries, args.batch)]
             jax.block_until_ready(outs)
             best = max(best, args.queries / (time.time() - t0))
-        ids = np.asarray(jnp.concatenate(outs))
+        del outs
+        # fresh pass with immediate per-batch downloads (bulk fetches after
+        # many heavy dispatches hit the relay's ResourceExhausted — r4)
+        ids = np.concatenate([np.asarray(fn(qd[s:s + args.batch]))
+                              for s in range(0, args.queries, args.batch)])
         return best, ids
 
     qps_line, ids = timed(
