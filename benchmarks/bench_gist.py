@@ -97,17 +97,14 @@ def main():
         max_bins=args.bins, max_candidates=args.cand, pair_top_m=128,
         enum_width=args.bins, pair_filter=False)
 
-    from pqt_tpu.io import artifacts
-    tree_path = os.path.join("/tmp", f"pqt_gist_tree_n{n}")
+    # Each stage trains its own tree from the same data/config/seed: at
+    # 960-d the relay refuses D2H even right after training, so the TPU
+    # tree cannot be exported; the CPU recall stage's tree differs only in
+    # float rounding and recall is a statistical property of
+    # algorithm + config + data, not of the rounding (noted in the JSON).
     t0 = time.time()
-    if args.mode == "recall":
-        tree = artifacts.load_tree(tree_path, cfg)   # the measure-stage tree
-    else:
-        tree = P.train_tree(cfg, data[:200_000])
-        jax.block_until_ready(tree.cb2)
-        # save IMMEDIATELY: small downloads still work this early in the
-        # session's life
-        artifacts.save_tree(tree_path, cfg, tree)
+    tree = P.train_tree(cfg, data[:200_000])
+    jax.block_until_ready(tree.cb2)
     t_train = time.time() - t0
     t0 = time.time()
     db = P.build_database(cfg, tree, data, encode_chunk=1 << 14,
@@ -198,6 +195,8 @@ def main():
             ids["exact"], gt, ks=(10,))["top10_intersection"], 4),
         "line_top10_intersection": round(intersection_at(
             ids["line"], gt, ks=(10,))["top10_intersection"], 4),
+        "recall_backend": "cpu (own tree, same config/data/seed; relay "
+                          "blocks D2H from 960-d TPU sessions)",
     }))
 
 

@@ -1,212 +1,415 @@
-"""Billion-path dress rehearsal: chunked out-of-core build + query at >=50M.
+"""Billion-path dress rehearsal: chunked out-of-core build + query at >=20M.
 
-VERDICT r2 missing #2 / next-round #3: the flagship reference workflow is
-the chunked SIFT1B build (test/test1B.cpp:764-898) — 10M-vector chunks
-encoded on device, merged on host, queried with the BIG pipeline.  This
-script runs that exact shape at 50M (or any --n) on one chip:
+VERDICT r3 #2: the flagship reference workflow is the chunked SIFT1B build
+(test/test1B.cpp:764-898) — chunks encoded on device, merged on host,
+queried at the SIFT1B operating shape.  This harness runs that workflow
+with the engine's multi-process build path (db.encode_chunk_to_file per
+worker + db.merge_chunk_files host merge — the same shape a multi-host
+build uses, SURVEY §2.4), staged into separate processes because the dev
+relay breaks device->host transfers in heavy sessions (BASELINE.md r4):
 
-  * data is generated per chunk from the shared two-level cluster model
-    (never materializing the full set in RAM at once beyond one chunk);
-  * ChunkedDBBuilder streams: device encode -> host histogram + spill;
-  * finalize() places rows at final CSR positions with bounded RAM;
-  * queries run at the SIFT1B-shaped operating point (k1=16, lp=32,
-    8192 bins/8192 candidates per chip — see config.py SIFT1B notes);
-  * emits ONE BENCH-style JSON line.
+  train   (TPU)  train on a sample, save the tree artifact
+  encode_i(TPU)  one fresh process per chunk: gen data, encode, write npz
+  gt      (CPU)  exact ground truth via torch (f32 scan + f64 re-rank of
+                 the top-200), runs CONCURRENTLY with the encodes
+  merge   (host) streaming counting-sort into CSR (+ vector spill memmap)
+  query   (TPU)  upload merged CSR, steady-state timings, NO downloads
+  recall  (CPU)  line ids + host-f64 exact re-rank of the candidate set
+  parent  (host) metrics + ONE BENCH-style JSON line
 
-Run:  python benchmarks/rehearsal_50m.py [--n 50000000] [--chunk 10000000]
+Run:  python benchmarks/rehearsal_50m.py [--n 20000000] [--chunk 2000000]
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-import pqt_tpu as P
-from pqt_tpu.utils.cache import enable_persistent_cache
-enable_persistent_cache()
-from pqt_tpu.models.db import ChunkedDBBuilder
-from pqt_tpu.ops.distance import brute_force_knn_fast
-from pqt_tpu.utils.metrics import intersection_at, recall_at
+DIM = 128
+WORK = os.environ.get("PQT_REHEARSAL_DIR", "/tmp/pqt_rehearsal")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=50_000_000)
-    ap.add_argument("--chunk", type=int, default=10_000_000)
-    ap.add_argument("--queries", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--spill", default="/tmp/pqt_rehearsal_spill")
-    # Probe budget flags: the remote-compile service on this host stalls on
-    # >=8192-bin single-shard query programs (see BASELINE.md backend note),
-    # so the single-chip rehearsal defaults to 4096 bins; sharded serving
-    # restores the reference's global budget by splitting it across shards.
-    ap.add_argument("--bins", type=int, default=4096)
-    ap.add_argument("--cand", type=int, default=8192)
-    ap.add_argument("--enum", dest="enum_w", type=int, default=8192)
-    ap.add_argument("--keep-vectors", action="store_true",
-                    help="spill raw vectors (CSR memmap) and ALSO run the "
-                         "exact re-rank path (validates the r4 vector-spill "
-                         "machinery at scale)")
-    args = ap.parse_args()
-    n, dim = args.n, 128
-
-    # SIFT1B shape per BASELINE.md, scaled: hash table ~4x the vector count
-    # (the reference's 4e8 slots for 1e9 vectors is 0.4x; we can afford 2-4x
-    # at 50M for fewer collisions), lp=32 codes, k1=16.
-    hash_size = 1 << min(29, max(22, (2 * n - 1).bit_length()))
-    cfg = P.SIFT1B_CONFIG.replace(
-        hash_size=hash_size, kmeans_iters=8, train_subsample=2_000_000,
+def build_cfg(args):
+    import pqt_tpu as P
+    hash_size = 1 << min(29, max(22, (2 * args.n - 1).bit_length()))
+    return P.SIFT1B_CONFIG.replace(
+        hash_size=hash_size, kmeans_iters=8,
+        train_subsample=args.train_n,
         max_bins=args.bins, max_candidates=args.cand, pair_top_m=256,
         enum_width=args.enum_w, max_vec_per_bin=512)
 
+
+def cluster_model():
     rng = np.random.default_rng(0)
     from bench import make_queries, make_sift_like
+    _, subcenters = make_sift_like(1, DIM, rng)
+    return subcenters, make_queries
 
-    # Shared subcluster model; per-chunk generation reuses it so queries
-    # have genuine near neighbors somewhere in the 50M set.
-    _, subcenters = make_sift_like(1, dim, rng)     # just the model
-    queries = make_queries(args.queries, subcenters, rng)
 
-    def gen_chunk(size, seed):
-        r = np.random.default_rng(seed)
-        which = r.integers(0, subcenters.shape[0], size)
-        block = subcenters[which] + r.normal(0, 5.0, (size, dim))
-        return np.clip(np.round(block), 0, 255).astype(np.uint8)
+def gen_chunk(subcenters, size, seed):
+    r = np.random.default_rng(seed)
+    which = r.integers(0, subcenters.shape[0], size)
+    block = subcenters[which] + r.normal(0, 5.0, (size, DIM))
+    return np.clip(np.round(block), 0, 255).astype(np.uint8)
 
-    # --- train on a dedicated sample (test1B.cpp:703-724 trains on 2M) ---
+
+def parse():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20_000_000)
+    ap.add_argument("--chunk", type=int, default=2_000_000)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=64)
+    # 200k is the largest train sample whose session can still export the
+    # tree through the relay (D2H breaks after ~1M-row k-means, r4);
+    # proportionally it is 1% of a 20M build vs the reference's 0.2% for
+    # 1B (test1B.cpp:703-724).
+    ap.add_argument("--train-n", type=int, default=200_000)
+    ap.add_argument("--bins", type=int, default=4096)
+    ap.add_argument("--cand", type=int, default=8192)
+    ap.add_argument("--enum", dest="enum_w", type=int, default=8192)
+    ap.add_argument("--mode", default="full")
+    ap.add_argument("--chunk-id", type=int, default=-1)
+    return ap.parse_args()
+
+
+def tree_paths():
+    return os.path.join(WORK, "tree")
+
+
+def stage_train(args):
+    import jax
+    import pqt_tpu as P
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    cfg = build_cfg(args)
+    subcenters, _ = cluster_model()
+    train = gen_chunk(subcenters, args.train_n, seed=999)
     t0 = time.time()
-    train = gen_chunk(min(2_000_000, n), seed=999)
     tree = P.train_tree(cfg, train)
     jax.block_until_ready(tree.cb2)
-    t_train = time.time() - t0
-    del train
-    print(f"# train {t_train:.1f}s", file=sys.stderr, flush=True)
+    artifacts.save_tree(tree_paths(), cfg, tree)
+    print(json.dumps({"train_s": round(time.time() - t0, 1)}))
 
-    # --- chunked build -----------------------------------------------------
-    os.makedirs(os.path.dirname(args.spill) or "/tmp", exist_ok=True)
+
+def stage_encode(args):
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.models.db import encode_chunk_to_file
+    from pqt_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    cfg = build_cfg(args)
+    tree = artifacts.load_tree(tree_paths(), cfg)
+    subcenters, _ = cluster_model()
+    i = args.chunk_id
+    size = min(args.chunk, args.n - i * args.chunk)
+    data = gen_chunk(subcenters, size, seed=i)
     t0 = time.time()
-    # encode_chunk: the line-code selection materializes (n, lp, c1*c1)
-    # grids; at lp=32 a 2^17-row chunk is ~4.3 GB of ephemerals -> OOM on
-    # 16 GB HBM.  2^16 keeps encode under ~2.2 GB.
-    builder = ChunkedDBBuilder(cfg, tree, encode_chunk=1 << 16,
-                               spill_path=args.spill,
-                               keep_vectors=args.keep_vectors)
-    done = 0
-    ci = 0
-    while done < n:
-        size = min(args.chunk, n - done)
-        chunk = gen_chunk(size, seed=ci)
-        builder.add_chunk(chunk)
-        done += size
-        ci += 1
-        print(f"# chunk {ci}: {done}/{n} "
-              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
-        del chunk
-    db = builder.finalize()
-    jax.block_until_ready(db.payload)
-    t_build = time.time() - t0
-    print(f"# build {t_build:.1f}s", file=sys.stderr, flush=True)
+    n = encode_chunk_to_file(
+        cfg, tree, data, i * args.chunk,
+        os.path.join(WORK, f"chunk{i}.npz"),
+        encode_chunk=1 << 16, keep_vectors=True)
+    print(json.dumps({"chunk": i, "rows": n,
+                      "encode_s": round(time.time() - t0, 1)}))
 
-    # --- occupancy histogram (test1B.cpp:1057-1090 mode-3 analog) ----------
+
+def stage_gt(args):
+    """Exact GT: f32 torch scan for top-200, f64 re-rank to top-100."""
+    if os.path.exists(os.path.join(WORK, "gt.npy")):
+        print(json.dumps({"gt_s": 0.0, "gt": "cached"}))
+        return
+    import torch
+    torch.set_num_threads(os.cpu_count() or 8)
+    subcenters, make_queries = cluster_model()
+    queries = make_queries(args.queries, subcenters,
+                           np.random.default_rng(0))
+    q32 = torch.from_numpy(queries)                     # (Q, dim) f32
+    qn = (q32 * q32).sum(1)
+    Q = args.queries
+    best_d = torch.full((Q, 200), float("inf"))
+    best_i = torch.full((Q, 200), -1, dtype=torch.int64)
+    t0 = time.time()
+    n_chunks = -(-args.n // args.chunk)
+    for ci in range(n_chunks):
+        size = min(args.chunk, args.n - ci * args.chunk)
+        c = torch.from_numpy(
+            gen_chunk(subcenters, size, seed=ci).astype(np.float32))
+        cn = (c * c).sum(1)
+        for s in range(0, Q, 64):
+            d = (qn[s:s + 64, None] + cn[None, :]
+                 - 2.0 * (q32[s:s + 64] @ c.T))
+            v, idx = torch.topk(d, 200, dim=1, largest=False)
+            cat_d = torch.cat([best_d[s:s + 64], v], dim=1)
+            cat_i = torch.cat([best_i[s:s + 64],
+                               idx + ci * args.chunk], dim=1)
+            v2, sel = torch.topk(cat_d, 200, dim=1, largest=False)
+            best_d[s:s + 64] = v2
+            best_i[s:s + 64] = torch.gather(cat_i, 1, sel)
+        print(f"# gt chunk {ci + 1}/{n_chunks} ({time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+    # f64 re-rank of the 200 survivors per query (exact ordering);
+    # regenerate each source chunk ONCE and scatter its distances.
+    cand = best_i.numpy()                               # (Q, 200)
+    q64 = queries.astype(np.float64)
+    d64 = np.empty(cand.size, np.float64)
+    flat = cand.ravel()
+    chunk_of = flat // args.chunk
+    for ci in np.unique(chunk_of):
+        size = min(args.chunk, args.n - int(ci) * args.chunk)
+        arr = gen_chunk(subcenters, size, seed=int(ci))
+        sel = np.nonzero(chunk_of == ci)[0]
+        v = arr[flat[sel] - int(ci) * args.chunk].astype(np.float64)
+        d64[sel] = ((v - q64[sel // 200]) ** 2).sum(1)
+    d64 = d64.reshape(Q, 200)
+    sel100 = np.argsort(d64, axis=1, kind="stable")[:, :100]
+    gt = np.take_along_axis(cand, sel100, axis=1)
+    np.save(os.path.join(WORK, "gt.npy"), gt)
+    print(json.dumps({"gt_s": round(time.time() - t0, 1)}))
+
+
+def stage_merge(args):
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.models.db import merge_chunk_files
     from pqt_tpu.utils.metrics import occupancy_histogram
+    cfg = build_cfg(args)
+    tree = artifacts.load_tree(tree_paths(), cfg)
+    n_chunks = -(-args.n // args.chunk)
+    paths = [os.path.join(WORK, f"chunk{i}.npz") for i in range(n_chunks)]
+    t0 = time.time()
+    db = merge_chunk_files(cfg, tree, paths, keep_vectors=True,
+                           spill_path=os.path.join(WORK, "spill"),
+                           to_device=False)
+    np.save(os.path.join(WORK, "prefix.npy"), db.prefix)
+    np.save(os.path.join(WORK, "counts.npy"), db.counts)
+    # payload/vectors live in the spill memmaps already
     occ = occupancy_histogram(np.asarray(db.counts))
-    print(f"# occupancy {occ}", file=sys.stderr, flush=True)
+    print(json.dumps({"merge_s": round(time.time() - t0, 1),
+                      "n_rows": int(db.payload.shape[0]),
+                      "occupancy": occ}))
 
-    # --- query timing FIRST (r4 session-state rule: the brute-force scan
-    # program poisons the fast dispatch path — BASELINE.md r4) -------------
-    qd = jnp.asarray(queries)
 
-    def timed(fn):
-        jax.block_until_ready(fn(qd[:args.batch]))
+def load_merged(args, cfg):
+    from pqt_tpu.models.db import PQTDatabase, payload_width
+    prefix = np.load(os.path.join(WORK, "prefix.npy"))
+    counts = np.load(os.path.join(WORK, "counts.npy"))
+    w = payload_width(cfg)
+    payload = np.memmap(os.path.join(WORK, "spill"), np.int32, mode="r",
+                        shape=(args.n, w))
+    vecs = np.memmap(os.path.join(WORK, "spill.vecs"), np.uint8, mode="r",
+                     shape=(args.n, DIM))
+    prefix2 = np.stack([prefix, prefix + counts], axis=1)
+    return PQTDatabase(prefix=prefix, counts=counts, payload=payload,
+                       pair_occ=None, vectors=None, prefix2=prefix2,
+                       vectors_csr=vecs)
+
+
+def stage_query(args):
+    """TPU timing: upload merged CSR, steady-state timings, NO downloads."""
+    import jax
+    import jax.numpy as jnp
+    import pqt_tpu as P
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    cfg = build_cfg(args)
+    tree = artifacts.load_tree(tree_paths(), cfg)
+    dbh = load_merged(args, cfg)
+    t0 = time.time()
+    db = dbh._replace(
+        prefix=jnp.asarray(dbh.prefix), counts=jnp.asarray(dbh.counts),
+        payload=jnp.asarray(np.asarray(dbh.payload)),
+        prefix2=jnp.asarray(dbh.prefix2),
+        vectors_csr=jnp.asarray(np.asarray(dbh.vectors_csr)))
+    jax.block_until_ready(db.payload)
+    t_up = time.time() - t0
+    subcenters, make_queries = cluster_model()
+    qd = jnp.asarray(make_queries(args.queries, subcenters,
+                                  np.random.default_rng(0)))
+    B = args.batch
+    out = {"upload_s": round(t_up, 1)}
+    for name, fn in [
+            ("line", lambda x: P.query_knn(cfg, tree, db, x, 100).indices),
+            ("exact", lambda x: P.query_knn(cfg, tree, db, x, 100,
+                                            True).indices)]:
+        jax.block_until_ready(fn(qd[:B]))
         best = 0.0
         for _ in range(3):
-            t0 = time.time()
-            outs = [fn(qd[s:s + args.batch])
-                    for s in range(0, args.queries, args.batch)]
+            t0 = time.perf_counter()
+            outs = [fn(qd[s:s + B])
+                    for s in range(0, args.queries, B)]
             jax.block_until_ready(outs)
-            best = max(best, args.queries / (time.time() - t0))
-        del outs
-        # fresh pass with immediate per-batch downloads (bulk fetches after
-        # many heavy dispatches hit the relay's ResourceExhausted — r4)
-        ids = np.concatenate([np.asarray(fn(qd[s:s + args.batch]))
-                              for s in range(0, args.queries, args.batch)])
-        return best, ids
+            best = max(best, args.queries / (time.perf_counter() - t0))
+        out[f"{name}_qps"] = round(best, 1)
+        print(f"# {name} {best:.0f} QPS", file=sys.stderr, flush=True)
+    print(json.dumps(out))
 
-    qps_line, ids = timed(
-        lambda x: P.query_knn(cfg, tree, db, x, 100).indices)
-    qps_exact, ids_exact = (None, None)
-    if db.vectors_csr is not None:
-        qps_exact, ids_exact = timed(
-            lambda x: P.query_knn(cfg, tree, db, x, 100, True).indices)
 
-    # --- approximate ground truth (AFTER all timings) ----------------------
-    # Exact 50M x 512 brute force on-chip would dominate the rehearsal;
-    # scan the full DB chunk-wise with approx_max_k per chunk and merge —
-    # recall target 0.999 makes missed-NN probability negligible for R@1.
+def stage_recall(args):
+    """CPU: line ids + host-f64 exact re-rank of the gathered candidates."""
+    import jax.numpy as jnp
+    import pqt_tpu as P
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.models.query import query_candidates
+    cfg = build_cfg(args)
+    tree = artifacts.load_tree(tree_paths(), cfg)
+    db = load_merged(args, cfg)
+    db = db._replace(payload=np.asarray(db.payload), vectors_csr=None)
+    subcenters, make_queries = cluster_model()
+    queries = make_queries(args.queries, subcenters,
+                           np.random.default_rng(0))
+    qd = jnp.asarray(queries)
+    vecs = np.memmap(os.path.join(WORK, "spill.vecs"), np.uint8, mode="r",
+                     shape=(args.n, DIM))
+    # invert CSR once (original id -> CSR position) for the vector memmap
+    pos_of_id = np.empty(args.n, np.int64)
+    pos_of_id[db.payload[:, 0]] = np.arange(args.n)
+    B = args.batch
+    line_rows, exact_rows = [], []
+    for s in range(0, args.queries, B):
+        line_rows.append(np.asarray(
+            P.query_knn(cfg, tree, db, qd[s:s + B], 100).indices))
+        ci, cv = query_candidates(cfg, tree, db, qd[s:s + B])
+        ci, cv = np.asarray(ci), np.asarray(cv)
+        block = np.full((ci.shape[0], 100), -1, np.int64)
+        for j in range(ci.shape[0]):
+            cand = np.unique(ci[j][cv[j] & (ci[j] >= 0)])
+            if cand.size == 0:
+                continue
+            v = vecs[pos_of_id[cand]].astype(np.float64)
+            d = ((v - queries[s + j].astype(np.float64)) ** 2).sum(1)
+            order = np.argsort(d, kind="stable")[:100]
+            block[j, :order.size] = cand[order]
+        exact_rows.append(block)
+    ids_line = np.concatenate(line_rows)
+    ids_exact = np.concatenate(exact_rows)
+    np.save(os.path.join(WORK, "ids_line.npy"), ids_line)
+    np.save(os.path.join(WORK, "ids_exact.npy"), ids_exact)
+    print(json.dumps({"recall_rows": int(ids_line.shape[0])}))
+
+
+def run_stage(args, mode, extra=(), env_cpu=False, timeout=3600):
+    env = dict(os.environ)
+    if env_cpu:
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--n", str(args.n), "--chunk", str(args.chunk),
+           "--queries", str(args.queries), "--batch", str(args.batch),
+           "--train-n", str(args.train_n), "--bins", str(args.bins),
+           "--cand", str(args.cand), "--enum", str(args.enum_w),
+           "--mode", mode, *extra]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=timeout)
+    sys.stderr.write(r.stderr[-1500:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-1500:])
+        raise SystemExit(f"rehearsal stage {mode} failed")
+    return json.loads([ln for ln in r.stdout.splitlines()
+                       if ln.startswith("{")][-1])
+
+
+def main():
+    args = parse()
+    os.makedirs(WORK, exist_ok=True)
+    if args.mode == "train":
+        return stage_train(args)
+    if args.mode == "encode":
+        return stage_encode(args)
+    if args.mode == "gt":
+        return stage_gt(args)
+    if args.mode == "merge":
+        return stage_merge(args)
+    if args.mode == "query":
+        return stage_query(args)
+    if args.mode == "recall":
+        return stage_recall(args)
+
+    # ---- orchestrator (strip the TPU plugin from THIS process) ----------
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        env = dict(os.environ)
+        env["PQT_AXON_STASH"] = env.pop("PALLAS_AXON_POOL_IPS")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                  env)
+    stash = os.environ.pop("PQT_AXON_STASH", None)
+
+    def tpu_env():
+        e = dict(os.environ)
+        if stash:
+            e["PALLAS_AXON_POOL_IPS"] = stash
+        return e
+
+    # GT runs concurrently on CPU (torch only, no TPU session)
+    gt_cmd = [sys.executable, os.path.abspath(__file__),
+              "--n", str(args.n), "--chunk", str(args.chunk),
+              "--queries", str(args.queries), "--mode", "gt"]
+    gt_env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    gt_proc = subprocess.Popen(gt_cmd, env=gt_env, stdout=subprocess.PIPE,
+                               stderr=subprocess.DEVNULL, text=True)
+
+    def run_tpu(mode, extra=(), timeout=3600):
+        env = tpu_env()
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--n", str(args.n), "--chunk", str(args.chunk),
+               "--queries", str(args.queries), "--batch", str(args.batch),
+               "--train-n", str(args.train_n), "--bins", str(args.bins),
+               "--cand", str(args.cand), "--enum", str(args.enum_w),
+               "--mode", mode, *extra]
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=timeout)
+        sys.stderr.write(r.stderr[-1500:] + "\n")
+        if r.returncode != 0:
+            sys.stderr.write(r.stdout[-1500:] + "\n")
+            raise SystemExit(f"rehearsal stage {mode} failed")
+        return json.loads([ln for ln in r.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    out = {"metric": f"rehearsal_sift1b_shape_n{args.n}_b{args.batch}",
+           "unit": "queries/s", "n_db": args.n}
+    out.update(run_tpu("train"))
+    print("# trained", file=sys.stderr, flush=True)
     t0 = time.time()
-    best_d = np.full((args.queries, 100), np.inf, np.float32)
-    best_i = np.full((args.queries, 100), -1, np.int64)
-    off = 0
-    sub = 1 << 21           # DB rows per scan block: (B, 2M) dists fit HBM
-    for ci2 in range(ci):
-        size = min(args.chunk, n - off)
-        chunk = gen_chunk(size, seed=ci2)
-        for bs in range(0, size, sub):
-            be = min(size, bs + sub)
-            cd = jnp.asarray(chunk[bs:be])
-            for s in range(0, args.queries, args.batch):
-                d, idx = brute_force_knn_fast(
-                    qd[s:s + args.batch], cd, 100, recall_target=0.999)
-                d = np.asarray(d)
-                idx = np.asarray(idx).astype(np.int64) + off + bs
-                cat_d = np.concatenate([best_d[s:s + args.batch], d], axis=1)
-                cat_i = np.concatenate([best_i[s:s + args.batch], idx],
-                                       axis=1)
-                sel = np.argsort(cat_d, axis=1, kind="stable")[:, :100]
-                best_d[s:s + args.batch] = np.take_along_axis(cat_d, sel, 1)
-                best_i[s:s + args.batch] = np.take_along_axis(cat_i, sel, 1)
-            del cd
-        off += size
-        del chunk
-        print(f"# gt chunk {ci2 + 1}/{ci} ({time.time() - t0:.0f}s)",
-              file=sys.stderr, flush=True)
-    t_gt = time.time() - t0
-    gt = best_i
+    n_chunks = -(-args.n // args.chunk)
+    for i in range(n_chunks):
+        r = run_tpu("encode", ("--chunk-id", str(i)))
+        print(f"# encoded chunk {i + 1}/{n_chunks} "
+              f"({r['encode_s']}s)", file=sys.stderr, flush=True)
+    out["build_encode_s"] = round(time.time() - t0, 1)
+    out.update(run_stage(args, "merge", env_cpu=True))
+    print("# merged", file=sys.stderr, flush=True)
+    out.update(run_tpu("query"))
+    print("# queried", file=sys.stderr, flush=True)
+    out.update(run_stage(args, "recall", env_cpu=True, timeout=5400))
+    print("# recall done; waiting for gt", file=sys.stderr, flush=True)
+    gt_out, _ = gt_proc.communicate(timeout=5400)
+    if gt_proc.returncode != 0:
+        raise SystemExit("gt stage failed")
+    out.update(json.loads([ln for ln in gt_out.splitlines()
+                           if ln.startswith("{")][-1]))
 
-    rec = recall_at(ids, gt, ks=(10, 100))
-    inter = intersection_at(ids, gt, ks=(10, 100))
-    out = {
-        "metric": f"rehearsal_sift1b_shape_n{n}_b{args.batch}",
-        "value": round(qps_line, 1),
-        "unit": "queries/s",
-        "recall_at_1": round(float((ids[:, 0] == gt[:, 0]).mean()), 4),
+    from pqt_tpu.utils.metrics import intersection_at, recall_at
+    gt = np.load(os.path.join(WORK, "gt.npy"))
+    ids_line = np.load(os.path.join(WORK, "ids_line.npy"))
+    ids_exact = np.load(os.path.join(WORK, "ids_exact.npy"))
+    rec = recall_at(ids_exact, gt, ks=(10, 100))
+    out.update({
+        "value": out.pop("exact_qps"),
+        "recall_at_1": round(float((ids_exact[:, 0] == gt[:, 0]).mean()), 4),
         "nn_in_top10": round(rec["R@10"], 4),
         "nn_in_top100": round(rec["R@100"], 4),
-        "top10_intersection": round(inter["top10_intersection"], 4),
-        "train_s": round(t_train, 1),
-        "build_s": round(t_build, 1),
-        "gt_s": round(t_gt, 1),
-        "n_db": n,
-        "hash_size": cfg.hash_size,
-        "probe_budget": f"{cfg.max_bins}/{cfg.max_candidates}",
-        "occupancy": occ,
-        "device": str(jax.devices()[0]),
-    }
-    if qps_exact is not None:
-        out.update({
-            "exact_qps": round(qps_exact, 1),
-            "exact_recall_at_1": round(
-                float((ids_exact[:, 0] == gt[:, 0]).mean()), 4),
-            "exact_top10_intersection": round(intersection_at(
-                ids_exact, gt, ks=(10,))["top10_intersection"], 4),
-        })
+        "top10_intersection": round(intersection_at(
+            ids_exact, gt, ks=(10,))["top10_intersection"], 4),
+        "line_recall_at_1": round(
+            float((ids_line[:, 0] == gt[:, 0]).mean()), 4),
+        "line_top10_intersection": round(intersection_at(
+            ids_line, gt, ks=(10,))["top10_intersection"], 4),
+        "probe_budget": f"{args.bins}/{args.cand}",
+    })
     print(json.dumps(out))
 
 

@@ -456,7 +456,7 @@ class ChunkedDBBuilder:
             self._dim = data.shape[1]
         self._n += n
 
-    def finalize(self) -> PQTDatabase:
+    def finalize(self, to_device: bool = True) -> PQTDatabase:
         cfg = self.cfg
         n, w = self._n, payload_width(cfg)
         if self._hist.sum() != n:
@@ -508,12 +508,88 @@ class ChunkedDBBuilder:
         counts32 = self._hist.astype(np.int32)
         prefix2 = np.stack([prefix32, ends.astype(np.int32)], axis=1)
         vecs = np.concatenate(self._vecs) if self._vecs else None
+        put = jnp.asarray if to_device else (lambda x: x)
         return PQTDatabase(
-            prefix=jnp.asarray(prefix32),
-            counts=jnp.asarray(counts32),
-            payload=jnp.asarray(payload),
-            pair_occ=self._pair_occ,
-            vectors=jnp.asarray(vecs) if vecs is not None else None,
-            prefix2=jnp.asarray(prefix2),
-            vectors_csr=(jnp.asarray(vec_mm) if vec_mm is not None
-                         else None))
+            prefix=put(prefix32),
+            counts=put(counts32),
+            payload=put(payload),
+            pair_occ=(put(np.asarray(self._pair_occ))
+                      if self._pair_occ is not None else None),
+            vectors=put(vecs) if vecs is not None else None,
+            prefix2=put(prefix2),
+            vectors_csr=(put(vec_mm) if vec_mm is not None else None))
+
+
+def encode_chunk_to_file(cfg: PQTConfig, tree: PQTree, data, id_offset: int,
+                         path: str, encode_chunk: int = 65536,
+                         keep_vectors: bool = False) -> int:
+    """Encode ONE out-of-core chunk and write it to `path` (npz).
+
+    The worker half of the multi-process build: each worker process (or
+    each HOST in a multi-host build — every host encodes its own rows,
+    SURVEY §2.4) encodes its slice against the shared tree and exits;
+    `merge_chunk_files` assembles the CSR afterwards without any device.
+    Returns the row count.  (Also the practical shape for this dev
+    backend, whose relay breaks D2H in long encode sessions.)
+    """
+    import jax
+    data = np.asarray(data)
+    if data.dtype not in (np.uint8, np.float32):
+        data = data.astype(np.float32)
+    n = data.shape[0]
+    bins = np.empty((n,), np.int32)
+    packed = np.empty((n, payload_width(cfg)), np.int32)
+    pair_occ = (jnp.zeros((cfg.p // 2, cfg.part_radix ** 2), jnp.uint8)
+                if cfg.pair_filter_enabled else None)
+    for s in range(0, n, encode_chunk):
+        e = min(n, s + encode_chunk)
+        chunk = _pad_chunk(data[s:e], encode_chunk)
+        bins_c, pc_c, packed_c = _encode_chunk(
+            cfg, tree, chunk, jnp.int32(id_offset + s))
+        if pair_occ is not None:
+            pair_occ = _pair_occ_device(cfg, pc_c[: e - s], pair_occ)
+        bins[s:e] = np.asarray(bins_c)[: e - s]
+        packed[s:e] = np.asarray(packed_c)[: e - s]
+    arrays = dict(bins=bins, packed=packed)
+    if keep_vectors:
+        arrays["vecs"] = data
+    if pair_occ is not None:
+        arrays["pair_occ"] = np.asarray(pair_occ)
+    np.savez(path, **arrays)
+    return n
+
+
+def merge_chunk_files(cfg: PQTConfig, tree: PQTree, paths,
+                      keep_vectors: bool = False,
+                      spill_path: Optional[str] = None,
+                      to_device: bool = True) -> PQTDatabase:
+    """Assemble the global CSR database from `encode_chunk_to_file` chunks.
+
+    Host-only (no device work): streaming counting sort with bounded RAM,
+    exactly like ChunkedDBBuilder.finalize.  `keep_vectors=True` requires
+    `spill_path` (vectors land in a CSR-ordered memmap).  With
+    `to_device=False` the leaves stay host NumPy — the layout a sharded /
+    multi-host loader slices before uploading shards.
+    """
+    if keep_vectors and not spill_path:
+        raise ValueError("merge_chunk_files(keep_vectors=True) needs "
+                         "spill_path (vectors merge into a CSR memmap)")
+    b = ChunkedDBBuilder(cfg, tree, keep_vectors=keep_vectors,
+                         spill_path=spill_path)
+    b._pair_occ = None
+    occ = None
+    for p in paths:
+        with np.load(p) as z:
+            bins = z["bins"]
+            b._hist += np.bincount(bins, minlength=cfg.hash_size)
+            b._n += int(bins.shape[0])
+            if keep_vectors:
+                b._vec_dtype = z["vecs"].dtype
+                b._dim = int(z["vecs"].shape[1])
+            if "pair_occ" in z:
+                occ = z["pair_occ"] if occ is None else (occ | z["pair_occ"])
+        b._bins.append(p)
+        b._packed.append(p)
+    if occ is not None:
+        b._pair_occ = occ
+    return b.finalize(to_device=to_device)

@@ -135,6 +135,30 @@ def test_chunked_build_spills_vectors_csr(trained, tmp_path):
                                np.asarray(ref.dists), rtol=1e-5, atol=1e-5)
 
 
+def test_worker_encode_and_merge_matches_single_shot(trained, tmp_path):
+    """Multi-process build: per-worker chunk files + host-only merge equal
+    the single-shot device build (the multi-host encode story, SURVEY
+    §2.4; test1B.cpp:764-898 chunk+merge analog)."""
+    from pqt_tpu.models.db import encode_chunk_to_file, merge_chunk_files
+    tree, db, db_vecs, queries = trained
+    paths = []
+    off = 0
+    for i, s in enumerate(range(0, db_vecs.shape[0], 1500)):
+        p = str(tmp_path / f"chunk{i}.npz")
+        off += encode_chunk_to_file(SMALL_CFG, tree, db_vecs[s:s + 1500],
+                                    off, p, encode_chunk=1024,
+                                    keep_vectors=True)
+        paths.append(p)
+    db2 = merge_chunk_files(SMALL_CFG, tree, paths, keep_vectors=True,
+                            spill_path=str(tmp_path / "spill"),
+                            to_device=False)
+    assert isinstance(db2.payload, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(db.counts), db2.counts)
+    np.testing.assert_array_equal(np.asarray(db.payload), db2.payload)
+    ids = db2.payload[:, 0]
+    np.testing.assert_array_equal(np.asarray(db2.vectors_csr), db_vecs[ids])
+
+
 def test_candidate_budget_respected(trained):
     tree, db, _, queries = trained
     res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 10)
