@@ -45,10 +45,24 @@ def build_cfg(args):
         enum_width=args.enum_w, max_vec_per_bin=512)
 
 
-def cluster_model():
+def cluster_model(n):
+    """Two-level cluster model scaled with n: keep ~20 points per
+    subcluster so NN structure (and the bin-occupancy distribution) stays
+    SIFT-like at any scale.  The first 20M rehearsal used the fixed 65k
+    subcenters of the 1M bench and collapsed 20M points into ~28k bins
+    (717 mean occupancy — candidate recall 0.17 at an 8192 budget); that
+    measured the fixture's mode count, not the engine."""
     rng = np.random.default_rng(0)
     from bench import make_queries, make_sift_like
-    _, subcenters = make_sift_like(1, DIM, rng)
+    # Mode diversity must scale with n in BOTH levels: with a fixed 1024
+    # coarse clusters the coarse identity dominates all p parts jointly
+    # and the tree can only realize ~56k distinct bins no matter how many
+    # subclusters exist (run 2 of the 20M rehearsal).  ~320 points per
+    # coarse cluster and ~20 per subcluster keeps bin occupancy SIFT-like
+    # at any scale.
+    n_coarse = max(1024, n // 320)
+    _, subcenters = make_sift_like(1, DIM, rng, n_coarse=n_coarse,
+                                   subs_per_coarse=16)
     return subcenters, make_queries
 
 
@@ -89,7 +103,7 @@ def stage_train(args):
     from pqt_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     cfg = build_cfg(args)
-    subcenters, _ = cluster_model()
+    subcenters, _ = cluster_model(args.n)
     train = gen_chunk(subcenters, args.train_n, seed=999)
     t0 = time.time()
     tree = P.train_tree(cfg, train)
@@ -105,7 +119,7 @@ def stage_encode(args):
     enable_persistent_cache()
     cfg = build_cfg(args)
     tree = artifacts.load_tree(tree_paths(), cfg)
-    subcenters, _ = cluster_model()
+    subcenters, _ = cluster_model(args.n)
     i = args.chunk_id
     size = min(args.chunk, args.n - i * args.chunk)
     data = gen_chunk(subcenters, size, seed=i)
@@ -125,7 +139,7 @@ def stage_gt(args):
         return
     import torch
     torch.set_num_threads(os.cpu_count() or 8)
-    subcenters, make_queries = cluster_model()
+    subcenters, make_queries = cluster_model(args.n)
     queries = make_queries(args.queries, subcenters,
                            np.random.default_rng(0))
     q32 = torch.from_numpy(queries)                     # (Q, dim) f32
@@ -227,7 +241,7 @@ def stage_query(args):
         vectors_csr=jnp.asarray(np.asarray(dbh.vectors_csr)))
     jax.block_until_ready(db.payload)
     t_up = time.time() - t0
-    subcenters, make_queries = cluster_model()
+    subcenters, make_queries = cluster_model(args.n)
     qd = jnp.asarray(make_queries(args.queries, subcenters,
                                   np.random.default_rng(0)))
     B = args.batch
@@ -259,7 +273,7 @@ def stage_recall(args):
     tree = artifacts.load_tree(tree_paths(), cfg)
     db = load_merged(args, cfg)
     db = db._replace(payload=np.asarray(db.payload), vectors_csr=None)
-    subcenters, make_queries = cluster_model()
+    subcenters, make_queries = cluster_model(args.n)
     queries = make_queries(args.queries, subcenters,
                            np.random.default_rng(0))
     qd = jnp.asarray(queries)
