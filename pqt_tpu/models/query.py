@@ -638,7 +638,11 @@ def query_knn_refine(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     (PerturbationProTree.cu:8596-8795): cheap codes prune, exact distances
     decide.  Requires db.vectors.
     """
-    assert db.vectors is not None
+    assert db.vectors is not None, (
+        "query_knn_refine needs id-indexed raw vectors (keep_vectors=True "
+        "on an in-RAM build); a spilled/out-of-core db carries CSR-ordered "
+        "vectors only — use query_knn(..., exact_rerank=True), which "
+        "re-ranks the same candidates by true distance via vectors_csr")
     k1 = k_line or (k * refine_factor)
     stage1 = query_knn(cfg, tree, db, queries, k1, False)
     # Exact distances only for the surviving k1 candidates (db.vectors is
