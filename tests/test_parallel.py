@@ -132,6 +132,20 @@ def test_sharded_exact_rerank_matches_single_device(built_vec):
     np.testing.assert_array_equal(got_i[untied], want_i[untied])
 
 
+def test_shard_database_consumes_spilled_csr_vectors(built_vec, tmp_path):
+    """A db whose raw vectors came from the out-of-core spill (CSR order,
+    vectors_csr) shards identically to an id-indexed in-RAM db."""
+    tree, db, db_vecs, queries = built_vec
+    db_spill = db._replace(
+        vectors=None,
+        vectors_csr=jnp.asarray(np.asarray(db.vectors)[np.asarray(db.ids)]))
+    sdb_a = sharded.shard_database(CFG, db, 4)
+    sdb_b = sharded.shard_database(CFG, db_spill, 4)
+    assert sdb_b.vectors is not None
+    np.testing.assert_array_equal(np.asarray(sdb_a.vectors),
+                                  np.asarray(sdb_b.vectors))
+
+
 def test_sharded_exact_requires_vectors(built):
     tree, db, _, queries = built
     mesh = Mesh(np.array(jax.devices()[:4]), ("db",))
