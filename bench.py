@@ -411,28 +411,32 @@ def main():
     # Sessions are born fast or degraded (the relay hands out both; r4
     # measured the same program at 0.18-0.5 ms/batch across sessions), so
     # the capability number is the best over a few independent sessions —
-    # applied to BOTH sides of the ratio.
-    m = None
+    # applied to BOTH sides of the ratio — and the MEDIAN across sessions
+    # is reported as a co-equal typical-case headline (VERDICT r4 weak #2).
+    # Each path's latencies + downloaded ids come from the session that won
+    # that path's QPS (ADVICE r4: never mix a degraded session's p50/p99
+    # with another session's headline throughput).
+    sessions = []
     for _ in range(int(os.environ.get("PQT_BENCH_MEASURE_SESSIONS", 3))):
         _run_stage("measure")
-        got = dict(np.load(paths["measure"]))
-        if m is None:
-            m = got
-        else:
-            for key, val in got.items():
-                if key.endswith("_qps"):
-                    m[key] = max(m[key], val)
-                elif key.endswith("_qps_med"):
-                    m[key] = max(m[key], val)
-    bt = None
+        sessions.append(dict(np.load(paths["measure"])))
+    m = dict(sessions[0])
+    path_names = [n for n in ("exact", "line", "refine", "ref_budget")
+                  if f"{n}_qps" in sessions[0]]
+    for name in path_names:
+        qps_all = [float(s[f"{name}_qps"]) for s in sessions]
+        win = int(np.argmax(qps_all))
+        for kk in (f"{name}_qps", f"{name}_qps_med", f"{name}_p50_ms",
+                   f"{name}_p99_ms", f"ids_{name}"):
+            m[kk] = sessions[win][kk]
+        m[f"{name}_qps_sessions_med"] = float(np.median(qps_all))
+    bts = []
     for _ in range(int(os.environ.get("PQT_BENCH_BRUTE_SESSIONS", 2))):
         _run_stage("brute")
-        got = dict(np.load(paths["brute"]))
-        if bt is None:
-            bt = got
-        else:
-            bt["qps"] = max(bt["qps"], got["qps"])
-            bt["qps_med"] = max(bt["qps_med"], got["qps_med"])
+        bts.append(dict(np.load(paths["brute"])))
+    bt = dict(bts[int(np.argmax([float(b["qps"]) for b in bts]))])
+    bt["qps_sessions_med"] = float(np.median([float(b["qps"])
+                                              for b in bts]))
 
     with np.load(paths["gt"]) as z:
         gt, gt_d = z["gt"], z["gt_d"]
@@ -457,6 +461,15 @@ def main():
         "value": float(m["exact_qps"]),
         "unit": "queries/s",
         "vs_baseline": round(float(m["exact_qps"]) / brute_qps, 3),
+        # co-equal typical-case headline: median across independent
+        # sessions, both sides of the ratio (best-of-sessions is the
+        # capability number; this is what a random session measures)
+        "value_sessions_median": float(m["exact_qps_sessions_med"]),
+        "brute_force_qps_sessions_median": round(
+            float(bt["qps_sessions_med"]), 1),
+        "vs_baseline_sessions_median": round(
+            float(m["exact_qps_sessions_med"]) /
+            float(bt["qps_sessions_med"]), 3),
         "value_median_of_3": float(m["exact_qps_med"]),
         "brute_force_qps": round(brute_qps, 1),
         "brute_force_qps_median": round(float(bt["qps_med"]), 1),
@@ -471,7 +484,9 @@ def main():
         "n_db": k["n"],
         "probe_budget": f"{k['max_bins']}/{k['max_cand']}",
         "measurement": ("steady-state pipelined, device-resident batches, "
-                        "clean session per stage (BASELINE.md r4); p50/p99 "
+                        "clean session per stage (BASELINE.md r4); value = "
+                        "best-of-sessions capability, value_sessions_median "
+                        "= typical case; p50/p99 from the winning session, "
                         "include the dev tunnel RTT"),
         "line_qps": float(m["line_qps"]),
         "line_recall_at_1": stats(m["ids_line"])["recall_at_1"],

@@ -12,14 +12,19 @@ from pqt_tpu.config import (GIST1M_CONFIG, PQTConfig, SIFT1B_CONFIG,
 from pqt_tpu.models.db import (ChunkedDBBuilder, PQTDatabase, build_database,
                                encode_bins, encode_line_codes)
 from pqt_tpu.models.query import QueryResult, query_knn, query_knn_refine
-from pqt_tpu.models.tree import PQTree, train_tree
+from pqt_tpu.models.split import (SplitDatabase, build_split_database,
+                                  load_split_database, query_knn_split,
+                                  save_split_database)
+from pqt_tpu.models.tree import PQTree, train_tree, train_tree_split
 
 __version__ = "0.1.0"
 
 __all__ = [
     "PQTConfig", "SIFT1M_CONFIG", "SIFT1B_CONFIG", "GIST1M_CONFIG",
-    "PQTree", "train_tree",
+    "PQTree", "train_tree", "train_tree_split",
     "PQTDatabase", "build_database", "ChunkedDBBuilder",
     "encode_bins", "encode_line_codes",
     "QueryResult", "query_knn", "query_knn_refine",
+    "SplitDatabase", "build_split_database", "query_knn_split",
+    "save_split_database", "load_split_database",
 ]

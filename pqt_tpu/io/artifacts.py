@@ -71,39 +71,73 @@ def load_tree(path: str, cfg: PQTConfig) -> PQTree:
     return PQTree.from_codebooks(cfg, cb1, cb2)
 
 
+def _stream_to_raw(arr, out_path: str, rows_per_block: int = 1 << 20):
+    """Copy an array (possibly a disk memmap) to a raw file in bounded-RAM
+    row blocks — never materializes the whole array."""
+    with open(out_path, "wb") as f:
+        for s in range(0, arr.shape[0], rows_per_block):
+            f.write(np.ascontiguousarray(arr[s:s + rows_per_block])
+                    .tobytes())
+
+
 def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
-    arrays = dict(
-        __version__=_FORMAT_VERSION, config=cfg.to_json(),
-        prefix=np.asarray(db.prefix), counts=np.asarray(db.counts),
-        payload=np.asarray(db.payload))
-    if db.pair_occ is not None:
-        arrays["pair_occ"] = np.asarray(db.pair_occ)
-    if db.vectors is not None:
-        arrays["vectors"] = np.asarray(db.vectors)
-    if db.vectors_csr is not None:
-        arrays["vectors_csr"] = np.asarray(db.vectors_csr)
-    np.savez_compressed(_npz_path(path), **arrays)
+    """Persist a database artifact.
+
+    In-RAM leaves go into one compressed npz.  Out-of-core leaves
+    (np.memmap — the billion-path CSR payload / vector spill) are instead
+    stream-copied to raw sidecar files `<path>.<leaf>.bin` with their
+    shape/dtype recorded in the npz, so saving a spilled DB never
+    materializes it in host RAM and loading maps it back lazily."""
+    base = _npz_path(path)
+    arrays = dict(__version__=_FORMAT_VERSION, config=cfg.to_json(),
+                  prefix=np.asarray(db.prefix), counts=np.asarray(db.counts))
+    maybe = dict(payload=db.payload, pair_occ=db.pair_occ,
+                 vectors=db.vectors, vectors_csr=db.vectors_csr)
+    for name, leaf in maybe.items():
+        if leaf is None:
+            continue
+        if isinstance(leaf, np.memmap):
+            _stream_to_raw(leaf, base + f".{name}.bin")
+            arrays[name + "__shape"] = np.asarray(leaf.shape, np.int64)
+            arrays[name + "__dtype"] = np.str_(np.dtype(leaf.dtype).str)
+        else:
+            arrays[name] = np.asarray(leaf)
+    np.savez_compressed(base, **arrays)
 
 
 def load_database(path: str, cfg: PQTConfig) -> PQTDatabase:
     from pqt_tpu.models.db import pack_payload, payload_width
 
-    with np.load(_npz_path(path), allow_pickle=False) as z:
+    base = _npz_path(path)
+    with np.load(base, allow_pickle=False) as z:
         _check_config(str(z["config"]), cfg, _DB_FIELDS)
-        vectors = jnp.asarray(z["vectors"]) if "vectors" in z else None
-        vectors_csr = (jnp.asarray(z["vectors_csr"])
-                       if "vectors_csr" in z else None)
-        if "payload" in z:
-            payload = z["payload"]
-        else:   # format v1 stored ids/codes/t3 separately
+
+        def leaf(name, device=True):
+            """Inline npz leaf (→ device array) or raw sidecar (→ lazy host
+            memmap — out-of-core leaves stay out of core on load)."""
+            if name in z:
+                return jnp.asarray(z[name]) if device else z[name]
+            if name + "__shape" in z:
+                return np.memmap(base + f".{name}.bin",
+                                 np.dtype(str(z[name + "__dtype"])),
+                                 mode="r",
+                                 shape=tuple(z[name + "__shape"]))
+            return None
+
+        vectors = leaf("vectors")
+        vectors_csr = leaf("vectors_csr")
+        payload = leaf("payload", device=False)
+        if payload is None:   # format v1 stored ids/codes/t3 separately
             payload = pack_payload(z["ids"], z["codes"], z["t3"])
-        pair_occ = jnp.asarray(z["pair_occ"]) if "pair_occ" in z else None
+        if not isinstance(payload, np.memmap):
+            payload = jnp.asarray(payload)
+        pair_occ = leaf("pair_occ")
         prefix = np.asarray(z["prefix"])
         counts = np.asarray(z["counts"])
         prefix2 = np.stack([prefix, prefix + counts], axis=1)
         db = PQTDatabase(
             prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
-            payload=jnp.asarray(payload), pair_occ=pair_occ, vectors=vectors,
+            payload=payload, pair_occ=pair_occ, vectors=vectors,
             prefix2=jnp.asarray(prefix2), vectors_csr=vectors_csr)
     if db.prefix.shape[0] != cfg.hash_size:
         raise ArtifactMismatch("hash table size mismatch")

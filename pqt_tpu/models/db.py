@@ -30,6 +30,10 @@ from pqt_tpu.ops import binning
 from pqt_tpu.ops.linecodes import build_line_codes
 
 
+class ChunkFormatError(RuntimeError):
+    """An encoded chunk file lacks the arrays the requested merge needs."""
+
+
 class PQTDatabase(NamedTuple):
     """Built database; all leaves jax arrays, shardable by hash range / rows.
 
@@ -578,14 +582,25 @@ def merge_chunk_files(cfg: PQTConfig, tree: PQTree, paths,
                          spill_path=spill_path)
     b._pair_occ = None
     occ = None
+    need_vec_meta = keep_vectors
     for p in paths:
         with np.load(p) as z:
+            if keep_vectors and "vecs" not in z.files:
+                raise ChunkFormatError(
+                    f"chunk {p} has no raw vectors but "
+                    "merge_chunk_files(keep_vectors=True) was requested; "
+                    "re-encode it with encode_chunk_to_file("
+                    "keep_vectors=True) or merge with keep_vectors=False")
             bins = z["bins"]
             b._hist += np.bincount(bins, minlength=cfg.hash_size)
             b._n += int(bins.shape[0])
-            if keep_vectors:
+            if need_vec_meta:
+                # dtype/dim from the FIRST chunk only — NpzFile indexing
+                # decompresses the whole member, so probing every chunk
+                # would double the vector I/O of the merge (ADVICE r4)
                 b._vec_dtype = z["vecs"].dtype
                 b._dim = int(z["vecs"].shape[1])
+                need_vec_meta = False
             if "pair_occ" in z:
                 occ = z["pair_occ"] if occ is None else (occ | z["pair_occ"])
         b._bins.append(p)

@@ -401,7 +401,9 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
 
     Returns (cand_ids (B, k), dists (B, k), n_candidates (B,)); -1 ids mark
     missing results.  With want_candidates=True, returns the full candidate
-    set (B, max_candidates) before top-k instead (for exact re-rank).
+    set (B, max_candidates) before top-k instead (for exact re-rank), plus
+    each candidate's CSR position (for position-indexed re-fetches, e.g.
+    the out-of-core refine path's vectors_csr gather).
     """
     from pqt_tpu.models.db import unpack_payload_cfg
 
@@ -409,7 +411,7 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
     d_pairs, h_pairs, exact = _pair_stage(cfg, tree, queries, pair_occ)
     bins = _enumerate_bins_pair(cfg, h_pairs, exact)
     start, cnt = _probe_bins(cfg, bins, prefix2, bin_offset)
-    rows, valid, _ = _collect_rows(cfg, payload, start, cnt)
+    rows, valid, positions, _ = _collect_rows(cfg, payload, start, cnt)
     cand_ids = rows[..., 0]
     q_line = line_tables(cfg, tree, queries)               # (B, lp, c1)
     if _use_pallas_rerank(cfg, rows.shape[1]):
@@ -423,7 +425,7 @@ def query_core_pair(cfg: PQTConfig, tree: PQTree, prefix2, payload,
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
     if want_candidates:
-        return cand_ids, dists, jnp.sum(valid, axis=-1)
+        return cand_ids, dists, jnp.sum(valid, axis=-1), positions
     k_eff = min(k, dists.shape[-1])
     neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
@@ -435,10 +437,14 @@ def _collect_rows(cfg: PQTConfig, payload, start, cnt, *extra_tables):
     """Candidate rows from probed-bin extents, by the configured gather mode.
 
     start/cnt: (B, nb) CSR start + occupancy of each probed bin (in
-    enumeration order).  Returns (rows (B, K, W), valid (B, K), extra_rows)
+    enumeration order).  Returns (rows (B, K, W), valid (B, K),
+    positions (B, K) int32 CSR row index of each candidate, extra_rows)
     where K = max_candidates (rows mode) or its slab-rounded size, and
     extra_rows fetches the same row windows from each array in
     `extra_tables` (e.g. CSR-ordered raw vectors for exact re-rank).
+    The positions let a downstream stage re-fetch rows from ANY
+    CSR-ordered table (e.g. the refine path's exact re-rank over a
+    spilled database's vectors_csr).
 
     "slabs" mode fetches contiguous slab_size-row slices per bin — the same
     bytes in ~1/slab_size the gather indices (see binning.gather_slabs).
@@ -453,13 +459,20 @@ def _collect_rows(cfg: PQTConfig, payload, start, cnt, *extra_tables):
         extra = tuple(
             binning.fetch_slab_rows(t, slab_starts, slab_valid, S)[0]
             for t in extra_tables)
-        return rows, valid, extra
+        # same end-shift as fetch_slab_rows: row i of slab t sits at
+        # CSR position min(start, N-S) + i
+        B, T_ = slab_starts.shape
+        eff = jnp.minimum(slab_starts, max(payload.shape[0] - S, 0))
+        positions = (eff[..., None] +
+                     jax.lax.broadcasted_iota(jnp.int32, (B, T_, S), 2)
+                     ).reshape(B, T_ * S)
+        return rows, valid, positions, extra
     positions, valid = binning.gather_candidates(
         start, cnt, cfg.max_candidates, cfg.max_vec_per_bin)
     safe_pos = jnp.where(valid, positions, 0)
     rows = payload[safe_pos]
     extra = tuple(t[safe_pos] for t in extra_tables)
-    return rows, valid, extra
+    return rows, valid, safe_pos, extra
 
 
 def query_core_exact(cfg: PQTConfig, tree: PQTree, prefix2, payload,
@@ -486,8 +499,8 @@ def query_core_exact(cfg: PQTConfig, tree: PQTree, prefix2, payload,
         bins, cnt = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
                                     bin_offset, pair_occ)
         start = prefix2[bins, 0]
-    rows, valid, (vec_rows,) = _collect_rows(cfg, payload, start, cnt,
-                                             vectors_csr)
+    rows, valid, _, (vec_rows,) = _collect_rows(cfg, payload, start, cnt,
+                                                vectors_csr)
     cand_ids = rows[..., 0]
     vecs = vec_rows.astype(jnp.float32)                    # (B, K, dim)
     diff = vecs - queries[:, None, :]
@@ -503,13 +516,16 @@ def query_core_exact(cfg: PQTConfig, tree: PQTree, prefix2, payload,
 
 
 def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
-               queries, k: int, bin_offset=None, pair_occ=None):
+               queries, k: int, bin_offset=None, pair_occ=None,
+               want_candidates: bool = False):
     """Shared single-shard query math over raw CSR arrays.
 
     prefix/counts are (local) occupancy tables (prefix rebased to the local
     payload array); payload is the (local) CSR-ordered packed payload
     (see PQTDatabase).  Returns (cand_ids (B, k), dists (B, k),
     n_candidates (B,)) with line re-ranking; -1 ids mark missing results.
+    With want_candidates=True, returns the pre-top-k candidate set plus
+    CSR positions instead (same contract as query_core_pair).
     """
     from pqt_tpu.models.db import unpack_payload_cfg
 
@@ -518,13 +534,16 @@ def query_core(cfg: PQTConfig, tree: PQTree, prefix, counts, payload,
     bins, bin_counts = _enumerate_bins(cfg, sorted_d2, sorted_codes, counts,
                                        bin_offset, pair_occ)
     prefix_of_bins = prefix[bins]
-    rows, valid, _ = _collect_rows(cfg, payload, prefix_of_bins, bin_counts)
+    rows, valid, positions, _ = _collect_rows(cfg, payload, prefix_of_bins,
+                                              bin_counts)
     cand_ids, a_idx, b_idx, lam, cand_t3 = unpack_payload_cfg(cfg, rows)
     q_line = line_tables(cfg, tree, queries)          # (B, lp, c1)
     dists = reconstruct_dists_idx(a_idx, b_idx, lam, q_line, cand_t3)
     dists = jnp.where(valid, dists, jnp.inf)
     if cfg.dedup_candidates:
         dists = _mask_duplicate_candidates(cand_ids, valid, dists)
+    if want_candidates:
+        return cand_ids, dists, jnp.sum(valid, axis=-1), positions
     k_eff = min(k, dists.shape[-1])
     neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
@@ -554,7 +573,7 @@ def query_knn(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
             k_eff = top_ids.shape[-1]
         else:
             if cfg.pair_pipeline_enabled:
-                cand_ids, line_d, _ = query_core_pair(
+                cand_ids, line_d, _, _ = query_core_pair(
                     cfg, tree, db.prefix2, db.payload, queries, k,
                     pair_occ=db.pair_occ, want_candidates=True)
                 valid = jnp.isfinite(line_d)
@@ -613,7 +632,7 @@ def query_candidates(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
     """
     queries = queries.astype(jnp.float32)
     if cfg.pair_pipeline_enabled:
-        cand_ids, line_d, _ = query_core_pair(
+        cand_ids, line_d, _, _ = query_core_pair(
             cfg, tree, db.prefix2, db.payload, queries, 0,
             pair_occ=db.pair_occ, want_candidates=True)
         return cand_ids, jnp.isfinite(line_d)
@@ -636,23 +655,55 @@ def query_knn_refine(cfg: PQTConfig, tree: PQTree, db: PQTDatabase,
 
     The analog of queryBIGKNNRerank2 followed by the perfect pass
     (PerturbationProTree.cu:8596-8795): cheap codes prune, exact distances
-    decide.  Requires db.vectors.
+    decide.  Works with either vector layout:
+
+      * db.vectors (in-RAM build): stage-2 gathers by ORIGINAL id;
+      * db.vectors_csr only (spilled/out-of-core build): stage 1 carries
+        each surviving candidate's CSR POSITION through the line top-k, and
+        stage 2 gathers `vectors_csr[position]` — no id-indexed vector
+        array is ever materialized, so the billion-path database serves
+        its fastest accurate mode directly (the same storage the
+        reference's big pipelines re-rank from, test1B.cpp:1121-1125).
     """
-    assert db.vectors is not None, (
-        "query_knn_refine needs id-indexed raw vectors (keep_vectors=True "
-        "on an in-RAM build); a spilled/out-of-core db carries CSR-ordered "
-        "vectors only — use query_knn(..., exact_rerank=True), which "
-        "re-ranks the same candidates by true distance via vectors_csr")
+    if db.vectors is None and db.vectors_csr is None:
+        raise ValueError("query_knn_refine needs raw vectors: build with "
+                         "keep_vectors=True (in-RAM or spilled)")
+    queries = queries.astype(jnp.float32)
     k1 = k_line or (k * refine_factor)
-    stage1 = query_knn(cfg, tree, db, queries, k1, False)
-    # Exact distances only for the surviving k1 candidates (db.vectors is
-    # indexed by original id).
-    safe_ids = jnp.maximum(stage1.indices, 0)
-    cand_vecs = db.vectors[safe_ids].astype(jnp.float32)
-    diff = cand_vecs - queries[:, None, :].astype(jnp.float32)
+    if db.vectors is not None:
+        stage1 = query_knn(cfg, tree, db, queries, k1, False)
+        # Exact distances only for the surviving k1 candidates (db.vectors
+        # is indexed by original id).
+        safe_ids = jnp.maximum(stage1.indices, 0)
+        cand_vecs = db.vectors[safe_ids].astype(jnp.float32)
+        ids1, n_cand = stage1.indices, stage1.n_candidates
+    else:
+        # CSR-position refine for spilled databases.
+        if cfg.pair_pipeline_enabled:
+            cand_ids, line_d, n_cand, pos = query_core_pair(
+                cfg, tree, db.prefix2, db.payload, queries, 0,
+                pair_occ=db.pair_occ, want_candidates=True)
+        else:
+            cand_ids, line_d, n_cand, pos = query_core(
+                cfg, tree, db.prefix, db.counts, db.payload, queries, 0,
+                pair_occ=db.pair_occ, want_candidates=True)
+        k1_eff = min(k1, line_d.shape[-1])
+        neg1, idx1 = jax.lax.top_k(-line_d, k1_eff)
+        ids1 = jnp.take_along_axis(cand_ids, idx1, axis=-1)
+        pos1 = jnp.take_along_axis(pos, idx1, axis=-1)
+        ids1 = jnp.where(jnp.isfinite(-neg1), ids1, -1)
+        cand_vecs = db.vectors_csr[
+            jnp.where(ids1 >= 0, pos1, 0)].astype(jnp.float32)
+    diff = cand_vecs - queries[:, None, :]
     exact = jnp.sum(diff * diff, axis=-1)
-    exact = jnp.where(stage1.indices >= 0, exact, jnp.inf)
-    neg_top, top_idx = jax.lax.top_k(-exact, k)
-    ids = jnp.take_along_axis(stage1.indices, top_idx, axis=-1)
-    return QueryResult(indices=ids, dists=-neg_top,
-                       n_candidates=stage1.n_candidates)
+    exact = jnp.where(ids1 >= 0, exact, jnp.inf)
+    k_eff = min(k, exact.shape[-1])
+    neg_top, top_idx = jax.lax.top_k(-exact, k_eff)
+    ids = jnp.take_along_axis(ids1, top_idx, axis=-1)
+    ids = jnp.where(jnp.isfinite(-neg_top), ids, -1)
+    dists = -neg_top
+    if k_eff < k:
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        dists = jnp.pad(dists, ((0, 0), (0, k - k_eff)),
+                        constant_values=jnp.inf)
+    return QueryResult(indices=ids, dists=dists, n_candidates=n_cand)

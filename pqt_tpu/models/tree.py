@@ -131,6 +131,27 @@ def mark_dense_vectors(cfg: PQTConfig, assign1: jax.Array,
     return dense_bin[bin_id]
 
 
+def mark_dense_vectors_for(cfg: PQTConfig, tree: PQTree, data,
+                           percent: float = 0.3,
+                           chunk: int = 1 << 17) -> jax.Array:
+    """Dense-population mask for arbitrary `data` under a trained L1.
+
+    Chunked L1 assignment against tree.cb1, then the same densest-bins
+    ranking as `mark_dense_vectors` — used when the split tree was trained
+    on a subsample but the full dataset must be routed into the
+    dense/sparse member databases (test1B modes 5/6 route the build
+    population the same way, markSparseVectors ProTree.cu:570-639).
+    """
+    data = np.asarray(data)
+    assigns = []
+    for s in range(0, data.shape[0], chunk):
+        x = jnp.asarray(data[s:s + chunk], jnp.float32)
+        d1 = level1_tables(cfg, tree, x)             # (B, p, c1)
+        assigns.append(np.asarray(jnp.argmin(d1, axis=-1), np.int32))
+    assign1 = jnp.asarray(np.concatenate(assigns))
+    return mark_dense_vectors(cfg, assign1, percent)
+
+
 def train_tree_split(cfg: PQTConfig, train_data, percent: float = 0.3,
                      key=None):
     """Sparse/dense split training (createTreeSplitSparse, ProTree.cu:641-706).

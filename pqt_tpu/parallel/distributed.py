@@ -59,8 +59,9 @@ def initialize(coordinator_address: Optional[str] = None,
     launchers can export env and call `initialize()` bare.  On managed TPU
     pods `jax.distributed.initialize()` autodetects everything.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return  # already initialized (process_count() is 1 both before any
+        # init and after a single-process init, so it cannot gate this)
     kw = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
@@ -214,12 +215,12 @@ def place_host_sharded_db(cfg: PQTConfig, local_sdb: ShardedDatabase,
 
     `local_sdb` is this host's stacked shards (`build_local_shards`), as
     host NumPy.  All processes must agree on `global_max_shard_n`, the
-    padded per-shard row budget (defaults to the local budget — correct
-    only when all hosts happened to pad equally; real launchers should
-    exchange the max up front, e.g. via
-    jax.experimental.multihost_utils.process_allgather).  No vector/payload
-    bytes cross hosts here: every device receives its shard from its own
-    process's buffer.
+    padded per-shard row budget.  When it is None (the default) and the
+    runtime is multi-process, the max of the local budgets is exchanged
+    here via `multihost_utils.process_allgather`, so hosts with unequal
+    shard sizes assemble a consistent global shape without launcher help.
+    No vector/payload bytes cross hosts: every device receives its shard
+    from its own process's buffer.
     """
     n_shards = mesh.shape[db_axis]
     my_shards = local_shard_ids(mesh, db_axis)
@@ -229,7 +230,16 @@ def place_host_sharded_db(cfg: PQTConfig, local_sdb: ShardedDatabase,
             f"local_sdb has {np.asarray(local_sdb.prefix).shape[0]} "
             f"shards; this process's devices host {len(my_shards)}")
 
-    max_n = global_max_shard_n or local_sdb.payload.shape[1]
+    if global_max_shard_n is None:
+        local_max = int(local_sdb.payload.shape[1])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            global_max_shard_n = int(np.max(
+                multihost_utils.process_allgather(
+                    np.asarray(local_max, np.int64))))
+        else:
+            global_max_shard_n = local_max
+    max_n = global_max_shard_n
     if local_sdb.payload.shape[1] > max_n:
         raise ValueError("global_max_shard_n smaller than a local shard")
 

