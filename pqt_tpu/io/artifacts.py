@@ -80,14 +80,19 @@ def _stream_to_raw(arr, out_path: str, rows_per_block: int = 1 << 20):
                     .tobytes())
 
 
-def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
+def save_database(path: str, cfg: PQTConfig, db: PQTDatabase,
+                 adopt_memmaps: bool = False) -> None:
     """Persist a database artifact.
 
     In-RAM leaves go into one compressed npz.  Out-of-core leaves
     (np.memmap — the billion-path CSR payload / vector spill) are instead
     stream-copied to raw sidecar files `<path>.<leaf>.bin` with their
     shape/dtype recorded in the npz, so saving a spilled DB never
-    materializes it in host RAM and loading maps it back lazily."""
+    materializes it in host RAM and loading maps it back lazily.
+
+    adopt_memmaps=True RENAMES each memmap's backing file into place
+    instead of copying (no extra I/O or disk for multi-GB spills) — only
+    safe when the caller is done with `db` (the open memmaps go stale)."""
     base = _npz_path(path)
     arrays = dict(__version__=_FORMAT_VERSION, config=cfg.to_json(),
                   prefix=np.asarray(db.prefix), counts=np.asarray(db.counts))
@@ -97,7 +102,13 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase) -> None:
         if leaf is None:
             continue
         if isinstance(leaf, np.memmap):
-            _stream_to_raw(leaf, base + f".{name}.bin")
+            side = base + f".{name}.bin"
+            src = getattr(leaf, "filename", None)
+            if adopt_memmaps and src and os.path.exists(src):
+                if os.path.abspath(src) != os.path.abspath(side):
+                    os.replace(src, side)
+            else:
+                _stream_to_raw(leaf, side)
             arrays[name + "__shape"] = np.asarray(leaf.shape, np.int64)
             arrays[name + "__dtype"] = np.str_(np.dtype(leaf.dtype).str)
         else:

@@ -76,6 +76,19 @@ def main(argv=None):
     ap.add_argument("--keep-vectors", action="store_true",
                     help="store raw vectors for exact re-rank")
     ap.add_argument("--kmeans-iters", type=int, default=25)
+    ap.add_argument("--spill", default=None, metavar="PATH",
+                    help="out-of-core build: stream encoded chunks through "
+                         "disk and finalize into memmaps at PATH (bounded "
+                         "host RAM — the billion-scale mode, "
+                         "test1B.cpp:764-898)")
+    ap.add_argument("--mode", choices=("full", "encode", "merge"),
+                    default="full",
+                    help="'encode' writes ONE chunk file (give --chunk-id) "
+                         "and exits — run one worker per chunk/host; "
+                         "'merge' assembles all chunk files into the final "
+                         "database without touching a device")
+    ap.add_argument("--chunk-id", type=int, default=-1,
+                    help="which chunk to encode in --mode encode")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -106,18 +119,69 @@ def main(argv=None):
         print(f"trained in {time.time() - t0:.1f}s")
         artifacts.save_tree(paths["tree"], cfg, tree)
 
-    # --- database: chunked build ----------------------------------------
+    stem = paths["db"][:-len(".db.npz")] if paths["db"].endswith(".db.npz") \
+        else paths["db"]
+
+    # --- worker mode: encode ONE chunk file and exit ---------------------
+    # (the multi-process / multi-host build half; each worker — or each
+    # host — encodes its slice against the shared tree, then a single
+    # host-only merge assembles the CSR.  test1B.cpp:764-898 analog.)
+    if args.mode == "encode":
+        from pqt_tpu.models.db import encode_chunk_to_file
+        i = args.chunk_id
+        n_chunks = -(-num // args.chunksize)
+        if not 0 <= i < n_chunks:
+            raise SystemExit(f"--chunk-id must be in [0, {n_chunks})")
+        off = i * args.chunksize
+        n_chunk = min(args.chunksize, num - off)
+        t0 = time.time()
+        out = f"{stem}.chunk{i}.npz"
+        encode_chunk_to_file(cfg, tree, read_dataset(args.dataset, n_chunk,
+                                                     off),
+                             off, out, keep_vectors=args.keep_vectors)
+        print(f"encoded chunk {i}/{n_chunks} ({n_chunk} vectors) -> {out} "
+              f"in {time.time() - t0:.1f}s")
+        return
+
+    # --- merge mode: assemble chunk files, no device work ----------------
+    if args.mode == "merge":
+        from pqt_tpu.models.db import merge_chunk_files
+        n_chunks = -(-num // args.chunksize)
+        chunk_paths = [f"{stem}.chunk{i}.npz" for i in range(n_chunks)]
+        missing = [p for p in chunk_paths if not os.path.exists(p)]
+        if missing:
+            raise SystemExit(f"missing chunk files: {missing[:3]}"
+                             f"{'...' if len(missing) > 3 else ''}")
+        spill = args.spill or (stem + ".spill")
+        t0 = time.time()
+        db = merge_chunk_files(cfg, tree, chunk_paths,
+                               keep_vectors=args.keep_vectors,
+                               spill_path=spill, to_device=False)
+        print(f"merged {n_chunks} chunks / {db.n_vectors} vectors "
+              f"in {time.time() - t0:.1f}s")
+        print("occupancy:", occupancy_histogram(np.asarray(db.counts)))
+        artifacts.save_database(paths["db"], cfg, db, adopt_memmaps=True)
+        print(f"saved {paths['tree']} and {paths['db']}")
+        return
+
+    # --- database: chunked build (single process) ------------------------
     t0 = time.time()
-    builder = ChunkedDBBuilder(cfg, tree, keep_vectors=args.keep_vectors)
+    builder = ChunkedDBBuilder(cfg, tree, keep_vectors=args.keep_vectors,
+                               spill_path=args.spill)
     for off in range(0, num, args.chunksize):
         n_chunk = min(args.chunksize, num - off)
         print(f"encoding chunk @{off} ({n_chunk} vectors)")
         builder.add_chunk(read_dataset(args.dataset, n_chunk, off))
-    db = builder.finalize()
+    db = builder.finalize(to_device=not args.spill)
     print(f"built database of {db.n_vectors} vectors "
           f"in {time.time() - t0:.1f}s")
     print("occupancy:", occupancy_histogram(np.asarray(db.counts)))
-    artifacts.save_database(paths["db"], cfg, db)
+    artifacts.save_database(paths["db"], cfg, db,
+                            adopt_memmaps=bool(args.spill))
+    if args.spill:
+        import glob
+        for p in glob.glob(args.spill + ".chunk*.npz"):
+            os.remove(p)            # builder's temp chunk spills
     print(f"saved {paths['tree']} and {paths['db']}")
 
 

@@ -34,6 +34,13 @@ def main(argv=None):
     ap.add_argument("--exact-rerank", action="store_true",
                     help="re-rank candidates with exact distances "
                          "(requires --keep-vectors at build)")
+    ap.add_argument("--refine", action="store_true",
+                    help="two-stage line->exact refine path (works on "
+                         "in-RAM and spilled databases)")
+    ap.add_argument("--sharded", type=int, default=0, metavar="N",
+                    help="serve from a hash-range-sharded database over N "
+                         "devices with merged per-shard top-k "
+                         "(parallel/sharded.py; SURVEY §5.8)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -42,7 +49,7 @@ def main(argv=None):
 
     from pqt_tpu.config import PQTConfig
     from pqt_tpu.io import artifacts
-    from pqt_tpu.models.query import query_knn
+    from pqt_tpu.models.query import query_knn, query_knn_refine
     from pqt_tpu.tools.create_db import artifact_paths, read_dataset
     from pqt_tpu.utils.metrics import intersection_at, recall_at
 
@@ -56,6 +63,31 @@ def main(argv=None):
     db = artifacts.load_database(paths["db"], cfg)
     print(f"database: {db.n_vectors} vectors")
 
+    if args.sharded:
+        from jax.sharding import Mesh
+        from pqt_tpu.parallel.sharded import (make_sharded_query_fn,
+                                              place_sharded_db,
+                                              shard_database)
+        devs = jax.devices()
+        if len(devs) < args.sharded:
+            raise SystemExit(f"--sharded {args.sharded} needs that many "
+                             f"devices; {len(devs)} visible")
+        mesh = Mesh(np.array(devs[:args.sharded]), ("db",))
+        sdb = place_sharded_db(shard_database(cfg, db, args.sharded), mesh)
+        qfn = make_sharded_query_fn(
+            cfg, mesh, args.k,
+            mode="exact" if args.exact_rerank else "line")
+
+        def run(q):
+            return qfn(tree, sdb, q).indices
+    elif args.refine:
+        def run(q):
+            return query_knn_refine(cfg, tree, db, q, args.k).indices
+    else:
+        def run(q):
+            return query_knn(cfg, tree, db, q, args.k,
+                             args.exact_rerank).indices
+
     queries = np.asarray(read_dataset(args.queries), np.float32)
     n_q = queries.shape[0]
     batch = min(args.batch, n_q)
@@ -66,14 +98,10 @@ def main(argv=None):
     if pad:
         queries = np.concatenate(
             [queries, np.zeros((pad, args.dim), np.float32)])
-    _ = query_knn(cfg, tree, db, jnp.asarray(queries[:batch]), args.k,
-                  args.exact_rerank)
-    jax.block_until_ready(_.indices)
+    jax.block_until_ready(run(jnp.asarray(queries[:batch])))
     t0 = time.time()
     for s in range(0, queries.shape[0], batch):
-        r = query_knn(cfg, tree, db, jnp.asarray(queries[s:s + batch]),
-                      args.k, args.exact_rerank)
-        results.append(r.indices)
+        results.append(run(jnp.asarray(queries[s:s + batch])))
     jax.block_until_ready(results[-1])
     dt = time.time() - t0
     ids = np.concatenate([np.asarray(r) for r in results])[:n_q]
