@@ -563,6 +563,65 @@ def encode_chunk_to_file(cfg: PQTConfig, tree: PQTree, data, id_offset: int,
     return n
 
 
+def merge_chunk_files_range(cfg: PQTConfig, paths, lo: int, hi: int,
+                            keep_vectors: bool = False):
+    """Merge encoded chunk files keeping ONLY hash bins [lo, hi).
+
+    The per-HOST half of the multi-host out-of-core build: every host
+    scans the shared chunk files (sequential reads) but allocates and
+    fills only its own hash-range slice of the CSR — bounded host RAM at
+    1/n_hosts of the database, the sharded replacement for the reference's
+    full pinned-host merge (test1B.cpp:804-898, 1121-1125).  The output
+    feeds `parallel.distributed.build_local_shards` directly.
+
+    Returns (prefix (hi-lo,) int32 rebased to the slice, counts (hi-lo,)
+    int32, payload (n_local, w) int32, vectors_csr or None) — same
+    within-bin ascending-id determinism as the global merge.
+    """
+    span = hi - lo
+    hist = np.zeros((span,), np.int64)
+    vec_dtype = vec_dim = None
+    for p in paths:
+        with np.load(p) as z:
+            if keep_vectors and "vecs" not in z.files:
+                raise ChunkFormatError(
+                    f"chunk {p} has no raw vectors but keep_vectors=True "
+                    "was requested")
+            b = z["bins"]
+            m = (b >= lo) & (b < hi)
+            hist += np.bincount(b[m] - lo, minlength=span)
+            if keep_vectors and vec_dtype is None:
+                vec_dtype = z["vecs"].dtype
+                vec_dim = int(z["vecs"].shape[1])
+    ends = np.cumsum(hist)
+    prefix = ends - hist
+    n_local = int(ends[-1]) if span else 0
+    payload = np.empty((n_local, payload_width(cfg)), np.int32)
+    vecs = (np.empty((n_local, vec_dim), vec_dtype)
+            if keep_vectors else None)
+    cursor = prefix.copy()
+    for p in paths:
+        with np.load(p) as z:
+            b, rows = z["bins"], z["packed"]
+            vc = z["vecs"] if keep_vectors else None
+        m = (b >= lo) & (b < hi)
+        b = b[m] - lo
+        rows = rows[m]
+        if vc is not None:
+            vc = vc[m]
+        order = np.argsort(b, kind="stable")
+        sb = b[order]
+        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        run_id = np.cumsum(np.r_[False, sb[1:] != sb[:-1]])
+        within = np.arange(sb.shape[0], dtype=np.int64) - starts[run_id]
+        pos = cursor[sb] + within
+        payload[pos] = rows[order]
+        if vc is not None:
+            vecs[pos] = vc[order]
+        np.add.at(cursor, sb[starts], np.diff(np.r_[starts, sb.shape[0]]))
+    return (prefix.astype(np.int32), hist.astype(np.int32), payload, vecs)
+
+
 def merge_chunk_files(cfg: PQTConfig, tree: PQTree, paths,
                       keep_vectors: bool = False,
                       spill_path: Optional[str] = None,

@@ -39,6 +39,7 @@ the merged multi-host result against the single-process engine.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional, Sequence
 
 import jax
@@ -49,9 +50,68 @@ from pqt_tpu.config import PQTConfig
 from pqt_tpu.parallel.sharded import ShardedDatabase
 
 
+class PeerTimeoutError(RuntimeError):
+    """A cross-host collective did not complete in time — a peer process
+    is likely dead or unreachable.  The reference has no fault story at
+    all (SURVEY §5.3); this is the minimum serving hygiene for the
+    multi-host runtime: a typed, actionable error instead of an infinite
+    all_gather hang."""
+
+
+def _peer_timeout_s(default: float = 120.0) -> float:
+    return float(os.environ.get("PQT_PEER_TIMEOUT_S", default))
+
+
+def run_with_peer_timeout(fn, timeout_s: Optional[float] = None,
+                          what: str = "cross-host collective"):
+    """Run `fn()` (a blocking cross-host op) under a watchdog.
+
+    JAX collectives block in native code with no timeout of their own; a
+    dead peer hangs the whole serving step forever.  Running the op in a
+    daemon thread and joining with a deadline converts that hang into a
+    typed PeerTimeoutError carrying which process observed it.  (The stuck
+    native call cannot be cancelled — the caller should treat the error
+    as fatal for this process and re-launch, which is also what every
+    collective runtime requires after a membership change.)
+    """
+    if timeout_s is None:
+        timeout_s = _peer_timeout_s()
+    out, err = [], []
+
+    def run():
+        try:
+            out.append(fn())
+        except Exception as e:            # re-raised in the caller below
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise PeerTimeoutError(
+            f"{what} did not complete within {timeout_s:.0f}s "
+            f"(process {jax.process_index()}/{jax.process_count()}); a "
+            "peer process is likely dead or unreachable. Restart the "
+            "serving job; set PQT_PEER_TIMEOUT_S to tune the deadline.")
+    if err:
+        raise err[0]
+    return out[0]
+
+
+def peer_barrier(timeout_s: Optional[float] = None,
+                 name: str = "pqt_peer_barrier") -> None:
+    """All-process barrier with a deadline — health probe for serving
+    loops (raises PeerTimeoutError if any peer is gone)."""
+    from jax.experimental import multihost_utils
+    run_with_peer_timeout(
+        lambda: multihost_utils.sync_global_devices(name),
+        timeout_s, f"peer barrier '{name}'")
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               initialization_timeout: Optional[int] = None) -> None:
     """Bring up the JAX distributed runtime (idempotent).
 
     Arguments fall back to the standard env vars
@@ -74,6 +134,10 @@ def initialize(coordinator_address: Optional[str] = None,
         os.environ.get("JAX_PROCESS_ID")
     if pid is not None:
         kw["process_id"] = int(pid)
+    if initialization_timeout is not None:
+        # bounded coordinator bootstrap: fail fast (typed) when a peer
+        # never shows up instead of blocking the launcher indefinitely
+        kw["initialization_timeout"] = int(initialization_timeout)
     jax.distributed.initialize(**kw)
 
 
@@ -234,9 +298,10 @@ def place_host_sharded_db(cfg: PQTConfig, local_sdb: ShardedDatabase,
         local_max = int(local_sdb.payload.shape[1])
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
-            global_max_shard_n = int(np.max(
-                multihost_utils.process_allgather(
-                    np.asarray(local_max, np.int64))))
+            global_max_shard_n = int(np.max(run_with_peer_timeout(
+                lambda: multihost_utils.process_allgather(
+                    np.asarray(local_max, np.int64)),
+                what="pad-budget process_allgather")))
         else:
             global_max_shard_n = local_max
     max_n = global_max_shard_n

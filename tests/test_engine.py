@@ -181,6 +181,41 @@ def test_worker_encode_and_merge_matches_single_shot(trained, tmp_path):
     np.testing.assert_array_equal(np.asarray(db2.vectors_csr), db_vecs[ids])
 
 
+def test_merge_chunk_files_range_partitions_full_merge(trained, tmp_path):
+    """Hash-range merges over a partition of [0, hash_size) concatenate to
+    exactly the full merge — the per-host bounded-RAM loading invariant of
+    the multi-host build (VERDICT r4 missing #4)."""
+    from pqt_tpu.models.db import (encode_chunk_to_file, merge_chunk_files,
+                                   merge_chunk_files_range)
+    tree, db, db_vecs, _ = trained
+    paths = []
+    off = 0
+    for i, s in enumerate(range(0, db_vecs.shape[0], 1500)):
+        p = str(tmp_path / f"c{i}.npz")
+        off += encode_chunk_to_file(SMALL_CFG, tree, db_vecs[s:s + 1500],
+                                    off, p, encode_chunk=1024,
+                                    keep_vectors=True)
+        paths.append(p)
+    full = merge_chunk_files(SMALL_CFG, tree, paths, keep_vectors=True,
+                             spill_path=str(tmp_path / "spill"),
+                             to_device=False)
+    H = SMALL_CFG.hash_size
+    mid = H // 2
+    parts = [merge_chunk_files_range(SMALL_CFG, paths, lo, hi,
+                                     keep_vectors=True)
+             for lo, hi in ((0, mid), (mid, H))]
+    payload_cat = np.concatenate([p[2] for p in parts])
+    vec_cat = np.concatenate([p[3] for p in parts])
+    np.testing.assert_array_equal(payload_cat, np.asarray(full.payload))
+    np.testing.assert_array_equal(vec_cat, np.asarray(full.vectors_csr))
+    counts_cat = np.concatenate([p[1] for p in parts])
+    np.testing.assert_array_equal(counts_cat, np.asarray(full.counts))
+    # each range's prefix is rebased to its own slice
+    n0 = parts[0][2].shape[0]
+    np.testing.assert_array_equal(
+        parts[1][0] + n0, np.asarray(full.prefix)[mid:])
+
+
 def test_candidate_budget_respected(trained):
     tree, db, _, queries = trained
     res = query_knn(SMALL_CFG, tree, db, jnp.asarray(queries), 10)
