@@ -60,6 +60,28 @@ def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array,
     d2 = b2 - lambda^2 * c2 over all ordered pairs A < B
     (treequantizer.hpp:367-388; the GPU kernel scans the same c1*c1 space).
     """
+    best_a, best_b, lam_best, c2_best = best_lines(part_dists, pair_dists)
+    if lambda_bits == 8:
+        # quantize on the u8 sub-grid of the u16 codec (multiples of 256)
+        lam_u16 = (triangle.lambda_to_u8(lam_best).astype(jnp.uint16)
+                   << jnp.uint16(8))
+    else:
+        lam_u16 = triangle.lambda_to_u16(lam_best)
+    packed = pack_codes(best_a, best_b, lam_u16)
+    # t3 must use the DECODED lambda so build- and query-side terms agree.
+    lam_q = triangle.u16_to_lambda(lam_u16)
+    t3 = jnp.sum((lam_q * lam_q - lam_q) * c2_best, axis=-1)
+    return packed, t3
+
+
+def best_lines(part_dists: jax.Array, pair_dists: jax.Array):
+    """The unquantized line selection underlying build_line_codes.
+
+    Returns (best_a, best_b (n, lp) int32, lam_best (n, lp) float32
+    CONTINUOUS lambda, c2_best (n, lp) float32 pair distance of the chosen
+    line) — the pure line MODEL before any lambda codec, so diagnostics can
+    separate model error from codec-width error (VERDICT r4 weak #1).
+    """
     n, lp, c1 = part_dists.shape
     # a2[n,lp,A,B] = dist to B; b2 = dist to A; c2 = pair dist.
     a2 = part_dists[:, :, None, :]            # (n, lp, 1, c1) -> B axis last
@@ -76,20 +98,10 @@ def build_line_codes(part_dists: jax.Array, pair_dists: jax.Array,
     best_b = best % c1
     lam_best = jnp.take_along_axis(
         lam.reshape(n, lp, c1 * c1), best[..., None], axis=-1)[..., 0]
-    if lambda_bits == 8:
-        # quantize on the u8 sub-grid of the u16 codec (multiples of 256)
-        lam_u16 = (triangle.lambda_to_u8(lam_best).astype(jnp.uint16)
-                   << jnp.uint16(8))
-    else:
-        lam_u16 = triangle.lambda_to_u16(lam_best)
-    packed = pack_codes(best_a, best_b, lam_u16)
-    # t3 must use the DECODED lambda so build- and query-side terms agree.
-    lam_q = triangle.u16_to_lambda(lam_u16)
     c2_best = jnp.take_along_axis(
         jnp.broadcast_to(c2, (n, lp, c1, c1)).reshape(n, lp, c1 * c1),
         best[..., None], axis=-1)[..., 0]
-    t3 = jnp.sum((lam_q * lam_q - lam_q) * c2_best, axis=-1)
-    return packed, t3
+    return best_a, best_b, lam_best, c2_best
 
 
 def line_code_t3(packed: jax.Array, pair_dists: jax.Array) -> jax.Array:

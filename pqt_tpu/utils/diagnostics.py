@@ -108,10 +108,36 @@ def quantization_stats(cfg: PQTConfig, tree: PQTree,
     rel = np.abs(approx - exact) / scale
     lam_u16 = (np.asarray(codes) >> 16) & 0xFFFF
     lam = lam_u16.astype(np.float32) / 8192.0 - 4.0
+
+    # Per-codec decomposition (VERDICT r4 weak #1): the same sample scored
+    # with (a) the pure line MODEL (continuous lambda — the floor any
+    # codec can reach), (b) the u16 lambda codec (reference code_t width,
+    # helper.hpp:39-52), (c) the u8 lambda codec (compact payload).  The
+    # model row attributes the error to line quantization itself; the gap
+    # codec row - model row is what the codec width costs.
+    from pqt_tpu.ops.linecodes import (best_lines, build_line_codes,
+                                       reconstruct_dists_idx)
+    ld = line_tables(cfg, tree, jnp.asarray(x))            # (n, lp, c1)
+    out = {}
+    a_i, b_i, lam_c, c2_b = best_lines(ld, tree.pair_dists)
+    t3_c = jnp.sum((lam_c * lam_c - lam_c) * c2_b, axis=-1)
+    approx_model = np.asarray(reconstruct_dists_idx(
+        a_i[:, None, :], b_i[:, None, :], lam_c[:, None, :], q_line,
+        t3_c[:, None]))[:, 0]
+    out["rel_err_model"] = float((np.abs(approx_model - exact) / scale)
+                                 .mean())
+    for name, bits in (("codec16", 16), ("codec8", 8)):
+        ci, ti = build_line_codes(ld, tree.pair_dists, lambda_bits=bits)
+        ai = np.asarray(reconstruct_dists(
+            jnp.asarray(ci)[:, None, :], q_line,
+            jnp.asarray(ti)[:, None]))[:, 0]
+        out[f"rel_err_{name}"] = float((np.abs(ai - exact) / scale).mean())
+
     return {
         "rel_err_mean": float(rel.mean()),
         "rel_err_max": float(rel.max()),
         "rel_err_min": float(rel.min()),
+        **out,
         "lambda_min": float(lam.min()),
         "lambda_max": float(lam.max()),
         "lambda_mean": float(lam.mean()),
