@@ -37,9 +37,14 @@ class MultiDatabase(NamedTuple):
     """g independent inverted files sharing one tree.
 
     Parts per group is cfg.p // n_groups (kept out of the pytree leaves so
-    it stays static under jit).
+    it stays static under jit).  Raw vectors (for exact re-rank) are shared
+    across groups — original-id indexed, stored ONCE — and pair_occ is the
+    per-group code-pair occupancy when group_parts == 2 (the pair filter
+    applied to multi-DB probing).
     """
     databases: tuple            # tuple[PQTDatabase], one per group
+    vectors: jax.Array = None   # optional (n, dim), original-id order
+    pair_occ: jax.Array = None  # optional (g, radix^2) uint8
 
     @property
     def n_groups(self) -> int:
@@ -48,13 +53,26 @@ class MultiDatabase(NamedTuple):
 
 def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
                          group_parts: int,
-                         encode_chunk: int = 65536) -> MultiDatabase:
-    """Build one inverted file per part group (buildMultiDB equivalent)."""
+                         encode_chunk: int = 65536,
+                         keep_vectors: bool = False,
+                         spill_path=None) -> MultiDatabase:
+    """Build one inverted file per part group (buildMultiDB equivalent).
+
+    Vectors keep their NATIVE dtype end-to-end (uint8 stays uint8 — 4x HBM
+    and host-RAM win, BASELINE.md r4); encoding casts per chunk only.
+    With `spill_path`, each group's CSR payload lands in a disk memmap
+    (`<spill_path>.g<i>`) instead of host RAM — the payload is the term
+    that multiplies by g, so this bounds the multi-DB build's extra memory
+    at the reference's own scale (buildMultiDB ProTree.cu:1584-1654 keeps
+    every group's arrays in device memory instead).
+    """
     assert cfg.p % group_parts == 0
     g = cfg.p // group_parts
     radix = cfg.part_radix
 
-    data = np.asarray(data, np.float32)
+    data = np.asarray(data)
+    if data.dtype not in (np.uint8, np.float32):
+        data = data.astype(np.float32)
     n = data.shape[0]
     part_codes = np.empty((n, cfg.p), np.int32)
     codes = np.empty((n, cfg.line_parts), np.uint32)
@@ -72,22 +90,44 @@ def build_multi_database(cfg: PQTConfig, tree: PQTree, data,
     from pqt_tpu.models.db import pack_payload_cfg
     packed = pack_payload_cfg(cfg, np.arange(n, dtype=np.int32), codes, t3)
     dbs = []
+    pair_occ = None
+    if group_parts == 2:
+        pair_occ = np.zeros((g, radix * radix), np.uint8)
     for gi in range(g):
         sub = part_codes[:, gi * group_parts:(gi + 1) * group_parts]
+        if pair_occ is not None:
+            pair_occ[gi][np.unique(sub[:, 0] * radix + sub[:, 1])] = 1
         bin_ids = np.asarray(binning.hashed_bin_ids(
             jnp.asarray(sub), radix, cfg.hash_size))
         counts, prefix, order = native.build_csr(bin_ids, cfg.hash_size)
+        if spill_path:
+            pay = np.memmap(f"{spill_path}.g{gi}", np.int32, mode="w+",
+                            shape=packed.shape)
+            for s in range(0, n, encode_chunk):
+                e = min(n, s + encode_chunk)
+                pay[s:e] = packed[order[s:e]]
+        else:
+            pay = jnp.asarray(native.gather_rows(packed, order))
         dbs.append(PQTDatabase(
             prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
-            payload=jnp.asarray(native.gather_rows(packed, order)),
-            pair_occ=None, vectors=None,
+            payload=pay, pair_occ=None, vectors=None,
             prefix2=jnp.asarray(np.stack([prefix, prefix + counts], axis=1))))
-    return MultiDatabase(databases=tuple(dbs))
+    return MultiDatabase(
+        databases=tuple(dbs),
+        vectors=jnp.asarray(data) if keep_vectors else None,
+        pair_occ=jnp.asarray(pair_occ) if pair_occ is not None else None)
 
 
 def _group_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
-                group_parts: int, group_idx: int, max_bins: int):
-    """Enumerate + compact probed bins for one part group."""
+                group_parts: int, group_idx: int, max_bins: int,
+                pair_occ_g=None):
+    """Enumerate + compact probed bins for one part group.
+
+    `pair_occ_g` ((radix^2,) uint8, group_parts == 2 only): enumerated
+    bins whose (part a, part b) code pair never occurs in the database are
+    pruned before the occupancy gather — the pair filter applied to
+    multi-DB probing (each group IS a pair, so the filter is exact here).
+    """
     B = sorted_codes.shape[0]
     lo = group_idx * group_parts
     codes_g = sorted_codes[:, lo:lo + group_parts, :]       # (B, gp, L)
@@ -103,21 +143,30 @@ def _group_bins(cfg: PQTConfig, sorted_d2, sorted_codes, counts,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST
                             ).astype(jnp.int32)
+    part_codes_t = jnp.transpose(part_codes, (0, 2, 1))     # (B, E, gp)
     bin_ids = binning.hashed_bin_ids(
-        jnp.transpose(part_codes, (0, 2, 1)), cfg.part_radix, cfg.hash_size)
+        part_codes_t, cfg.part_radix, cfg.hash_size)
     bin_counts = counts[bin_ids]
+    if pair_occ_g is not None and group_parts == 2:
+        pc = (part_codes_t[..., 0] * cfg.part_radix + part_codes_t[..., 1])
+        bin_counts = jnp.where(pair_occ_g[pc] > 0, bin_counts, 0)
     return binning.compact_nonempty_bins(bin_ids, bin_counts, max_bins)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
-                    queries: jax.Array, k: int) -> QueryResult:
+                    queries: jax.Array, k: int,
+                    exact_rerank: bool = False) -> QueryResult:
     """Probe every group's inverted file; re-rank the candidate union.
 
     The per-group probe budget is max_bins/g and candidate budget
     max_candidates/g so total work matches the single-DB path.  Duplicate
     candidates across groups are masked before top-k (the reference's
-    occurrence-count dedup, ProTree.cu:3243-3310).
+    occurrence-count dedup, ProTree.cu:3243-3310).  With
+    `exact_rerank=True` (needs build_multi_database(keep_vectors=True))
+    the deduped union is ranked by TRUE distance — the multi-DB analog of
+    the perfect pass, which the reference's multi path lacks
+    (getMultiKBestVectorsKernel reranks in-bin only, ProTree.cu:3374-3448).
     """
     # group count is pytree STRUCTURE (static under jit); the group_parts
     # int leaf would be traced, so derive gp from the structure.
@@ -130,8 +179,11 @@ def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
 
     all_ids, all_a, all_b, all_lam, all_t3, all_valid = [], [], [], [], [], []
     for gi, db in enumerate(mdb.databases):
+        occ_g = (mdb.pair_occ[gi]
+                 if mdb.pair_occ is not None and cfg.pair_filter_enabled
+                 and gp == 2 else None)
         bins, bin_counts = _group_bins(cfg, sorted_d2, sorted_codes,
-                                       db.counts, gp, gi, per_bins)
+                                       db.counts, gp, gi, per_bins, occ_g)
         prefix_of_bins = db.prefix[bins]
         positions, valid = binning.gather_candidates(
             prefix_of_bins, bin_counts, per_cand, cfg.max_vec_per_bin)
@@ -164,7 +216,19 @@ def query_multi_knn(cfg: PQTConfig, tree: PQTree, mdb: MultiDatabase,
     dup, occ = _duplicate_stats(cand_ids, valid)
     dists = jnp.where(dup, jnp.inf, dists)
     k_eff = min(k, cand_ids.shape[1])
-    if cfg.multidb_rank == "occurrence":
+    if exact_rerank:
+        assert mdb.vectors is not None, \
+            "exact_rerank needs build_multi_database(keep_vectors=True)"
+        live = jnp.isfinite(dists)
+        safe_ids = jnp.where(live, cand_ids, 0)
+        vecs = mdb.vectors[safe_ids].astype(jnp.float32)
+        diff = vecs - queries[:, None, :]
+        dists = jnp.where(live, jnp.sum(diff * diff, axis=-1), jnp.inf)
+        neg_top, top_idx = jax.lax.top_k(-dists, k_eff)
+        top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+        top_ids = jnp.where(jnp.isfinite(-neg_top), top_ids, -1)
+        dists_out = -neg_top
+    elif cfg.multidb_rank == "occurrence":
         # lexicographic (occurrences desc, line distance asc); +inf slots
         # (invalid or duplicate) always sort last via the finite flag.
         finite = jnp.isfinite(dists)

@@ -84,3 +84,56 @@ def test_multi_candidate_union_at_least_single(built, clustered_data):
     r_m = metrics.recall_at(np.asarray(multi.indices), gt, ks=(10,))
     # same rerank; allow small slack for budget-split differences
     assert r_m["R@10"] >= r_s["R@10"] - 0.1, (r_m, r_s)
+
+
+@pytest.fixture(scope="module")
+def built_vec(clustered_data):
+    """Multi-DB with kept vectors (native dtype) + pair occupancy."""
+    db_vecs, queries = clustered_data
+    tree = train_tree(CFG, db_vecs)
+    mdb = build_multi_database(CFG, tree, db_vecs, group_parts=2,
+                               encode_chunk=2048, keep_vectors=True)
+    _, gt = brute_force_knn(jnp.asarray(queries), jnp.asarray(db_vecs), 10)
+    return tree, mdb, db_vecs, queries, np.asarray(gt)
+
+
+def test_multi_exact_rerank_beats_line(built_vec):
+    """Exact re-rank of the deduped union (VERDICT r4 weak #4): recall
+    reaches the union candidate ceiling, above line-only ranking."""
+    tree, mdb, db_vecs, queries, gt = built_vec
+    assert mdb.vectors is not None
+    line = query_multi_knn(CFG, tree, mdb, jnp.asarray(queries), 10)
+    exact = query_multi_knn(CFG, tree, mdb, jnp.asarray(queries), 10, True)
+    r_line = metrics.recall_at(np.asarray(line.indices), gt)["R@1"]
+    r_exact = metrics.recall_at(np.asarray(exact.indices), gt)["R@1"]
+    assert r_exact >= r_line - 1e-9, (r_exact, r_line)
+    assert r_exact >= 0.6, r_exact
+
+
+def test_multi_pair_filter_keeps_recall(built_vec):
+    """Each group IS a pair, so the pair-occupancy filter is exact: it may
+    only remove provably-empty bins and recall must not drop."""
+    tree, mdb, db_vecs, queries, gt = built_vec
+    assert mdb.pair_occ is not None and mdb.pair_occ.shape[0] == 2
+    cfg_f = CFG.replace(pair_filter=True)
+    res = query_multi_knn(cfg_f, tree, mdb, jnp.asarray(queries), 10, True)
+    base = query_multi_knn(CFG, tree, mdb, jnp.asarray(queries), 10, True)
+    r_f = metrics.recall_at(np.asarray(res.indices), gt, ks=(10,))["R@10"]
+    r_b = metrics.recall_at(np.asarray(base.indices), gt, ks=(10,))["R@10"]
+    assert r_f >= r_b - 1e-9, (r_f, r_b)
+
+
+def test_multi_build_spill_payload(clustered_data, tmp_path):
+    """spill_path: per-group payloads land in disk memmaps and match the
+    in-RAM build exactly."""
+    db_vecs, _ = clustered_data
+    tree = train_tree(CFG, db_vecs)
+    ram = build_multi_database(CFG, tree, db_vecs, group_parts=2,
+                               encode_chunk=2048)
+    sp = build_multi_database(CFG, tree, db_vecs, group_parts=2,
+                              encode_chunk=2048,
+                              spill_path=str(tmp_path / "mspill"))
+    for a, b in zip(ram.databases, sp.databases):
+        assert isinstance(b.payload, np.memmap)
+        np.testing.assert_array_equal(np.asarray(a.payload),
+                                      np.asarray(b.payload))
