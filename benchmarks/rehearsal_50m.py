@@ -249,7 +249,12 @@ def stage_query(args):
     for name, fn in [
             ("line", lambda x: P.query_knn(cfg, tree, db, x, 100).indices),
             ("exact", lambda x: P.query_knn(cfg, tree, db, x, 100,
-                                            True).indices)]:
+                                            True).indices),
+            # out-of-core refine (r5): line top-1024 by CSR position, then
+            # exact re-rank of those rows only — the fastest accurate mode
+            # now served directly from the spilled CSR vectors
+            ("refine", lambda x: P.query_knn_refine(
+                cfg, tree, db, x, 100, k_line=1024).indices)]:
         jax.block_until_ready(fn(qd[:B]))
         best = 0.0
         for _ in range(3):
@@ -283,13 +288,15 @@ def stage_recall(args):
     pos_of_id = np.empty(args.n, np.int64)
     pos_of_id[db.payload[:, 0]] = np.arange(args.n)
     B = args.batch
-    line_rows, exact_rows = [], []
+    line_rows, exact_rows, refine_rows = [], [], []
     for s in range(0, args.queries, B):
-        line_rows.append(np.asarray(
-            P.query_knn(cfg, tree, db, qd[s:s + B], 100).indices))
+        line_top = np.asarray(
+            P.query_knn(cfg, tree, db, qd[s:s + B], 1024).indices)
+        line_rows.append(line_top[:, :100])
         ci, cv = query_candidates(cfg, tree, db, qd[s:s + B])
         ci, cv = np.asarray(ci), np.asarray(cv)
         block = np.full((ci.shape[0], 100), -1, np.int64)
+        refine_block = np.full((ci.shape[0], 100), -1, np.int64)
         for j in range(ci.shape[0]):
             cand = np.unique(ci[j][cv[j] & (ci[j] >= 0)])
             if cand.size == 0:
@@ -298,11 +305,22 @@ def stage_recall(args):
             d = ((v - queries[s + j].astype(np.float64)) ** 2).sum(1)
             order = np.argsort(d, kind="stable")[:100]
             block[j, :order.size] = cand[order]
+            # refine path: exact re-rank of the line top-1024 only (host
+            # twin of query_knn_refine's CSR-position gather)
+            rc = line_top[j][line_top[j] >= 0]
+            if rc.size:
+                rv = vecs[pos_of_id[rc]].astype(np.float64)
+                rd = ((rv - queries[s + j].astype(np.float64)) ** 2).sum(1)
+                ro = np.argsort(rd, kind="stable")[:100]
+                refine_block[j, :ro.size] = rc[ro]
         exact_rows.append(block)
+        refine_rows.append(refine_block)
     ids_line = np.concatenate(line_rows)
     ids_exact = np.concatenate(exact_rows)
     np.save(os.path.join(WORK, "ids_line.npy"), ids_line)
     np.save(os.path.join(WORK, "ids_exact.npy"), ids_exact)
+    np.save(os.path.join(WORK, "ids_refine.npy"),
+            np.concatenate(refine_rows))
     print(json.dumps({"recall_rows": int(ids_line.shape[0])}))
 
 
@@ -424,6 +442,13 @@ def main():
             ids_line, gt, ks=(10,))["top10_intersection"], 4),
         "probe_budget": f"{args.bins}/{args.cand}",
     })
+    refine_path = os.path.join(WORK, "ids_refine.npy")
+    if os.path.exists(refine_path):
+        ids_refine = np.load(refine_path)
+        out["refine_recall_at_1"] = round(
+            float((ids_refine[:, 0] == gt[:, 0]).mean()), 4)
+        out["refine_top10_intersection"] = round(intersection_at(
+            ids_refine, gt, ks=(10,))["top10_intersection"], 4)
     print(json.dumps(out))
 
 
