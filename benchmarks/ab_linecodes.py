@@ -81,7 +81,10 @@ def stage_variant(name):
     jax.block_until_ready(tree.cb2)
     train_s = time.time() - t0
     t0 = time.time()
-    db = P.build_database(cfg, tree, np.asarray(data), encode_chunk=1 << 17)
+    # the line-code residual grid is (chunk, lp, c1, c1): scale the encode
+    # chunk with 1/c1^2 so device memory stays constant across variants
+    chunk = max(1 << 13, (1 << 17) // ((cfg.c1 // 16) ** 2))
+    db = P.build_database(cfg, tree, np.asarray(data), encode_chunk=chunk)
     jax.block_until_ready(db.payload)
     build_s = time.time() - t0
     qd = jnp.asarray(queries)
@@ -93,10 +96,13 @@ def stage_variant(name):
     ids = np.concatenate(ids)
     np.save(os.path.join(k["cache"], f"ablc_ids_{name}.npy"), ids)
     qs = quantization_stats(cfg, tree, np.asarray(data[:4096]))
-    print(json.dumps({"variant": name, "train_s": round(train_s, 1),
-                      "build_s": round(build_s, 1),
-                      "payload_bytes_per_row": 4 * db.payload.shape[1],
-                      **{kk: round(vv, 5) for kk, vv in qs.items()}}))
+    row = {"variant": name, "train_s": round(train_s, 1),
+           "build_s": round(build_s, 1),
+           "payload_bytes_per_row": 4 * db.payload.shape[1],
+           **{kk: round(vv, 5) for kk, vv in qs.items()}}
+    with open(os.path.join(k["cache"], f"ablc_row_{name}.json"), "w") as f:
+        json.dump(row, f)
+    print(json.dumps(row))
 
 
 def main():
@@ -125,6 +131,13 @@ def main():
 
     rows = []
     for name in VARIANTS:
+        row_path = os.path.join(k["cache"], f"ablc_row_{name}.json")
+        ids_path = os.path.join(k["cache"], f"ablc_ids_{name}.npy")
+        if os.path.exists(row_path) and os.path.exists(ids_path):
+            with open(row_path) as f:
+                rows.append(json.load(f))
+            print(f"# {name} cached", file=sys.stderr, flush=True)
+            continue
         env = dict(os.environ)
         env.pop("PQT_AXON_STASH", None)
         if stash:
