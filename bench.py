@@ -278,6 +278,37 @@ def _stage_measure():
         out[f"{name}_qps"] = round(float(np.max(qps)), 1)
         out[f"{name}_qps_med"] = round(float(np.median(qps)), 1)
         kept[name] = outs
+    # ---- large-batch operating point (reference batch shape) ------------
+    # Timed HERE, before any per-batch sync or download — those knock the
+    # session off its fast dispatch path permanently (BASELINE.md r4).
+    # tool_query.cpp:153 serves 4096-query batches; at batch 256 this
+    # backend is dispatch-floor-bound (~0.2 ms/call), so the large batch is
+    # where the chip's actual serving throughput shows.  Timing uses
+    # DISTINCT never-cached query batches (same-input repeats measure a
+    # relay fast path, not compute — verified r5); recall rides the q1024
+    # fixture padded through the same program.  Throughput at this batch
+    # benefits from candidate-row reuse across the clustered batch (the
+    # memory system serves repeated rows above raw HBM bandwidth) — real
+    # SIFT query streams are clustered too, but uniform-random queries
+    # would land lower.
+    B2 = int(os.environ.get("PQT_BENCH_BIGBATCH", 2048))
+    rng2 = np.random.default_rng(20260821)
+    _, sub = make_sift_like(1, k["dim"], np.random.default_rng(0))
+    big_qs = [jnp.asarray(make_queries(B2, sub, rng2)) for _ in range(4)]
+
+    def fn_big(x):
+        return P.query_knn(cfg, tree, db, x, 100, True).indices
+
+    jax.block_until_ready(fn_big(big_qs[0]))
+    qps2 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        big_outs = [fn_big(q) for q in big_qs]
+        jax.block_until_ready(big_outs)
+        qps2.append(4 * B2 / (time.perf_counter() - t0))
+    out["exact_b2048_qps"] = round(float(np.max(qps2)), 1)
+    out["exact_b2048_qps_med"] = round(float(np.median(qps2)), 1)
+
     for name, fn in fns:                             # synced latencies
         lats = []
         for s in range(nb):
@@ -288,6 +319,13 @@ def _stage_measure():
         out[f"{name}_p99_ms"] = round(np.percentile(lats, 99) * 1e3, 2)
     for name, outs in kept.items():                  # downloads
         out[f"ids_{name}"] = np.asarray(jnp.concatenate(outs))
+
+    # big-batch recall ids (untimed: session state no longer matters)
+    pad2 = jnp.concatenate([qd, big_qs[0][: B2 - qd.shape[0] % B2]]) \
+        if qd.shape[0] % B2 else qd
+    ids2 = [np.asarray(fn_big(pad2[s:s + B2]))
+            for s in range(0, pad2.shape[0], B2)]
+    out["ids_exact_b2048"] = np.concatenate(ids2)[:nq]
 
     # candidate recall inputs (untimed, after all timings)
     from pqt_tpu.models.query import query_candidates
@@ -327,14 +365,35 @@ def _stage_brute():
         outs = [fn(qd[s * B:(s + 1) * B]) for s in range(nb)]
         jax.block_until_ready(outs)
         qps.append(nq / (time.perf_counter() - t0))
+    # large-batch brute (matched workload for exact_b2048), timed BEFORE
+    # the per-batch-synced latency loop (sync degrades the session,
+    # BASELINE.md r4): the scan's (B, n) distance matrix OOMs at B=2048
+    # (8 GB), so the same 4*B2 distinct-query workload runs through the
+    # scan at its feasible batch — matched total work, each side at its
+    # best shape
+    B2 = int(os.environ.get("PQT_BENCH_BIGBATCH", 2048))
+    rng2 = np.random.default_rng(20260821)
+    _, sub = make_sift_like(1, k["dim"], np.random.default_rng(0))
+    big_q = jnp.asarray(np.concatenate(
+        [make_queries(B2, sub, rng2) for _ in range(4)]))
+    qps2 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        big_outs = [fn(big_q[s:s + B]) for s in range(0, 4 * B2, B)]
+        jax.block_until_ready(big_outs)
+        qps2.append(4 * B2 / (time.perf_counter() - t0))
+
     lats = []
     for s in range(nb):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(qd[s * B:(s + 1) * B]))
         lats.append(time.perf_counter() - t0)
     ids = np.asarray(jnp.concatenate(outs))
+
     np.savez(paths["brute"], qps=float(np.max(qps)),
              qps_med=float(np.median(qps)),
+             qps_b2048=float(np.max(qps2)),
+             qps_b2048_med=float(np.median(qps2)),
              p50=np.percentile(lats, 50) * 1e3,
              p99=np.percentile(lats, 99) * 1e3, ids=ids)
     print(json.dumps({"brute": "ok"}))
@@ -421,14 +480,16 @@ def main():
         _run_stage("measure")
         sessions.append(dict(np.load(paths["measure"])))
     m = dict(sessions[0])
-    path_names = [n for n in ("exact", "line", "refine", "ref_budget")
+    path_names = [n for n in ("exact", "line", "refine", "ref_budget",
+                              "exact_b2048")
                   if f"{n}_qps" in sessions[0]]
     for name in path_names:
         qps_all = [float(s[f"{name}_qps"]) for s in sessions]
         win = int(np.argmax(qps_all))
         for kk in (f"{name}_qps", f"{name}_qps_med", f"{name}_p50_ms",
                    f"{name}_p99_ms", f"ids_{name}"):
-            m[kk] = sessions[win][kk]
+            if kk in sessions[win]:
+                m[kk] = sessions[win][kk]
         m[f"{name}_qps_sessions_med"] = float(np.median(qps_all))
     bts = []
     for _ in range(int(os.environ.get("PQT_BENCH_BRUTE_SESSIONS", 2))):
@@ -502,6 +563,20 @@ def main():
         rb = stats(m["ids_ref_budget"])
         out.update({"ref_budget_qps": float(m["ref_budget_qps"]),
                     **{f"ref_budget_{kk}": vv for kk, vv in rb.items()}})
+    if "ids_exact_b2048" in m and "qps_b2048" in bt:
+        bb = stats(m["ids_exact_b2048"])
+        out.update({
+            # reference-shaped large batch (tool_query.cpp:153 uses 4096):
+            # the chip's serving throughput once the per-dispatch floor is
+            # amortized; timing on distinct novel batches, recall on the
+            # fixture queries through the same program
+            "exact_b2048_qps": float(m["exact_b2048_qps"]),
+            "exact_b2048_recall_at_1": bb["recall_at_1"],
+            "exact_b2048_top10_intersection": bb["top10_intersection"],
+            "brute_force_b2048_qps": round(float(bt["qps_b2048"]), 1),
+            "vs_baseline_b2048": round(
+                float(m["exact_b2048_qps"]) / float(bt["qps_b2048"]), 3),
+        })
     print(json.dumps(out))
 
 
