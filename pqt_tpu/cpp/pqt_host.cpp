@@ -61,6 +61,30 @@ void pqt_gather_rows(const uint8_t* src, const int32_t* order, int64_t n,
     }
 }
 
+// Streaming-merge placement (the hot loop of ChunkedDBBuilder.finalize /
+// merge_chunk_files, test1B.cpp:804-898's host merge): assign each chunk
+// row its CSR position by advancing per-bin cursors in INPUT order —
+// stable by construction, one linear pass (NumPy needs an O(n log n)
+// argsort plus run-length bookkeeping to express the same thing).
+//   bins: n int32 LOCAL bin ids; cursor: per-bin next-position (int64,
+//   updated in place); pos: n int64 out.
+void pqt_place_positions(const int32_t* bins, int64_t n, int64_t* cursor,
+                         int64_t* pos) {
+    for (int64_t i = 0; i < n; ++i) pos[i] = cursor[bins[i]]++;
+}
+
+// Parallel row scatter: dst[pos[i]] = src[i] for rows of row_bytes bytes.
+// pos entries are unique (fresh CSR positions), so rows write disjoint
+// ranges and the loop parallelizes safely.
+void pqt_scatter_rows(const uint8_t* src, const int64_t* pos, int64_t n,
+                      int64_t row_bytes, uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(dst + pos[i] * row_bytes, src + i * row_bytes,
+                    row_bytes);
+    }
+}
+
 // Merge per-chunk CSR bin ids with id offsets is just a concat on the host;
 // the global sort above handles ordering.  This helper applies the chunk id
 // offset in place (order[i] += offset) for shard-global ids.

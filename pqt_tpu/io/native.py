@@ -63,6 +63,14 @@ def get_lib():
         lib.pqt_u8_to_f32.restype = None
         lib.pqt_u8_to_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.pqt_place_positions.restype = None
+        lib.pqt_place_positions.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.pqt_scatter_rows.restype = None
+        lib.pqt_scatter_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
         lib.pqt_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -107,6 +115,47 @@ def gather_rows(src: np.ndarray, order: np.ndarray) -> np.ndarray:
     lib.pqt_gather_rows(_ptr(src), _ptr(order), order.shape[0],
                         int(row_bytes), _ptr(out))
     return out
+
+
+def place_positions(bins: np.ndarray, cursor: np.ndarray) -> np.ndarray:
+    """CSR positions for one merge chunk: pos[i] = cursor[bins[i]]++.
+
+    `cursor` (int64, per local bin) is advanced IN PLACE; placement is in
+    input order, so within-bin order is stable — identical output to the
+    NumPy argsort formulation, in one linear pass (the streaming-merge hot
+    loop, test1B.cpp:804-898 analog).
+    """
+    bins = np.ascontiguousarray(bins, np.int32)
+    assert cursor.dtype == np.int64 and cursor.flags.c_contiguous
+    lib = get_lib()
+    if lib is not None:
+        pos = np.empty(bins.shape[0], np.int64)
+        lib.pqt_place_positions(_ptr(bins), bins.shape[0], _ptr(cursor),
+                                _ptr(pos))
+        return pos
+    order = np.argsort(bins, kind="stable")
+    sb = bins[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    run_id = np.cumsum(np.r_[False, sb[1:] != sb[:-1]])
+    within = np.arange(sb.shape[0], dtype=np.int64) - starts[run_id]
+    pos = np.empty(bins.shape[0], np.int64)
+    pos[order] = cursor[sb] + within
+    np.add.at(cursor, sb[starts], np.diff(np.r_[starts, sb.shape[0]]))
+    return pos
+
+
+def scatter_rows(src: np.ndarray, pos: np.ndarray, dst: np.ndarray) -> None:
+    """dst[pos[i]] = src[i], multithreaded (positions are unique)."""
+    src = np.ascontiguousarray(src)
+    pos = np.ascontiguousarray(pos, np.int64)
+    lib = get_lib()
+    if lib is None or not dst.flags.c_contiguous or \
+            dst.strides[0] != src.strides[0]:
+        dst[pos] = src
+        return
+    row_bytes = src.strides[0] if src.ndim > 1 else src.itemsize
+    lib.pqt_scatter_rows(_ptr(src), _ptr(pos), src.shape[0],
+                         int(row_bytes), dst.ctypes.data_as(ctypes.c_void_p))
 
 
 def strip_xvecs(raw: np.ndarray, n: int, dim: int, dtype) -> np.ndarray:

@@ -485,9 +485,13 @@ class ChunkedDBBuilder:
                                    shape=(n, self._dim))
         else:
             payload = np.empty((n, w), np.int32)
-        # Streaming counting sort: chunks arrive in ascending id order, and
-        # each chunk is placed with a STABLE per-chunk sort, so within every
-        # bin ids stay ascending (same determinism as build_database).
+        # Streaming counting sort: chunks arrive in ascending id order and
+        # are placed in INPUT order against per-bin cursors, so within
+        # every bin ids stay ascending (same determinism as
+        # build_database).  The placement + scatter run natively (one
+        # linear cursor pass + OpenMP row scatter) with a NumPy stable-
+        # argsort fallback — at 50M+ rows this loop IS the merge.
+        from pqt_tpu.io import native
         cursor = prefix.copy()
         for bins, rows in zip(self._bins, self._packed):
             vecs_chunk = None
@@ -496,18 +500,11 @@ class ChunkedDBBuilder:
                     bins, rows = z["bins"], z["packed"]
                     if vec_mm is not None:
                         vecs_chunk = z["vecs"]
-            order = np.argsort(bins, kind="stable")
-            sb = bins[order]
-            # within-run offsets of the sorted chunk
-            starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
-            run_id = np.cumsum(np.r_[False, sb[1:] != sb[:-1]])
-            within = np.arange(sb.shape[0], dtype=np.int64) - starts[run_id]
-            pos = cursor[sb] + within
-            payload[pos] = rows[order]
+            pos = native.place_positions(bins, cursor)
+            native.scatter_rows(np.ascontiguousarray(rows), pos, payload)
             if vecs_chunk is not None:
-                vec_mm[pos] = vecs_chunk[order]
-            np.add.at(cursor, sb[starts],
-                      np.diff(np.r_[starts, sb.shape[0]]))
+                native.scatter_rows(np.ascontiguousarray(vecs_chunk), pos,
+                                    vec_mm)
         prefix32 = prefix.astype(np.int32)
         counts32 = self._hist.astype(np.int32)
         prefix2 = np.stack([prefix32, ends.astype(np.int32)], axis=1)
@@ -599,6 +596,7 @@ def merge_chunk_files_range(cfg: PQTConfig, paths, lo: int, hi: int,
     payload = np.empty((n_local, payload_width(cfg)), np.int32)
     vecs = (np.empty((n_local, vec_dim), vec_dtype)
             if keep_vectors else None)
+    from pqt_tpu.io import native
     cursor = prefix.copy()
     for p in paths:
         with np.load(p) as z:
@@ -607,18 +605,10 @@ def merge_chunk_files_range(cfg: PQTConfig, paths, lo: int, hi: int,
         m = (b >= lo) & (b < hi)
         b = b[m] - lo
         rows = rows[m]
+        pos = native.place_positions(b, cursor)
+        native.scatter_rows(np.ascontiguousarray(rows), pos, payload)
         if vc is not None:
-            vc = vc[m]
-        order = np.argsort(b, kind="stable")
-        sb = b[order]
-        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
-        run_id = np.cumsum(np.r_[False, sb[1:] != sb[:-1]])
-        within = np.arange(sb.shape[0], dtype=np.int64) - starts[run_id]
-        pos = cursor[sb] + within
-        payload[pos] = rows[order]
-        if vc is not None:
-            vecs[pos] = vc[order]
-        np.add.at(cursor, sb[starts], np.diff(np.r_[starts, sb.shape[0]]))
+            native.scatter_rows(np.ascontiguousarray(vc[m]), pos, vecs)
     return (prefix.astype(np.int32), hist.astype(np.int32), payload, vecs)
 
 

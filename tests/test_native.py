@@ -54,3 +54,45 @@ def test_strip_and_cast(rng):
     np.testing.assert_array_equal(got, data)
     np.testing.assert_array_equal(native.u8_to_f32(data),
                                   data.astype(np.float32))
+
+
+def test_place_positions_matches_fallback(rng):
+    """Native streaming-merge placement == the NumPy stable-argsort
+    formulation (positions AND cursor advance), across several chunks."""
+    H = 256
+    counts = np.zeros(H, np.int64)
+    chunks = [rng.integers(0, H, 4000).astype(np.int32) for _ in range(3)]
+    for c in chunks:
+        counts += np.bincount(c, minlength=H)
+    prefix = np.cumsum(counts) - counts
+    cur_nat = prefix.copy()
+    cur_ref = prefix.copy()
+    lib = native.get_lib()
+    for c in chunks:
+        if lib is not None:
+            pos_nat = np.empty(c.shape[0], np.int64)
+            lib.pqt_place_positions(native._ptr(c), c.shape[0],
+                                    native._ptr(cur_nat),
+                                    native._ptr(pos_nat))
+        else:
+            pos_nat = native.place_positions(c, cur_nat)
+        # reference: the pure-NumPy fallback formulation
+        order = np.argsort(c, kind="stable")
+        sb = c[order]
+        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        run_id = np.cumsum(np.r_[False, sb[1:] != sb[:-1]])
+        within = np.arange(sb.shape[0], dtype=np.int64) - starts[run_id]
+        pos_ref = np.empty(c.shape[0], np.int64)
+        pos_ref[order] = cur_ref[sb] + within
+        np.add.at(cur_ref, sb[starts], np.diff(np.r_[starts, sb.shape[0]]))
+        np.testing.assert_array_equal(pos_nat, pos_ref)
+    np.testing.assert_array_equal(cur_nat, cur_ref)
+
+
+def test_scatter_rows_roundtrip(rng):
+    n, w = 5000, 10
+    src = rng.integers(-2**31, 2**31 - 1, (n, w)).astype(np.int32)
+    pos = rng.permutation(n).astype(np.int64)
+    dst = np.zeros((n, w), np.int32)
+    native.scatter_rows(src, pos, dst)
+    np.testing.assert_array_equal(dst[pos], src)
