@@ -498,6 +498,11 @@ def main():
     bt = dict(bts[int(np.argmax([float(b["qps"]) for b in bts]))])
     bt["qps_sessions_med"] = float(np.median([float(b["qps"])
                                               for b in bts]))
+    if "qps_b2048" in bt:
+        # best over sessions independently per batch shape: the session
+        # that won batch-256 may have measured a degraded b2048 pass, and
+        # the protocol applies best-of-sessions to BOTH sides of each ratio
+        bt["qps_b2048"] = max(float(b["qps_b2048"]) for b in bts)
 
     with np.load(paths["gt"]) as z:
         gt, gt_d = z["gt"], z["gt_d"]

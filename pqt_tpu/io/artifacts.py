@@ -104,9 +104,15 @@ def save_database(path: str, cfg: PQTConfig, db: PQTDatabase,
         if isinstance(leaf, np.memmap):
             side = base + f".{name}.bin"
             src = getattr(leaf, "filename", None)
+            same_file = src and os.path.exists(src) and \
+                os.path.abspath(src) == os.path.abspath(side)
             if adopt_memmaps and src and os.path.exists(src):
-                if os.path.abspath(src) != os.path.abspath(side):
+                if not same_file:
                     os.replace(src, side)
+            elif same_file:
+                pass  # re-saving a loaded spilled DB to its own path: the
+                # sidecar already IS the data; streaming would open it
+                # 'wb' (truncate) under its own live mapping -> SIGBUS
             else:
                 _stream_to_raw(leaf, side)
             arrays[name + "__shape"] = np.asarray(leaf.shape, np.int64)

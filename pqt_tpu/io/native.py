@@ -127,6 +127,11 @@ def place_positions(bins: np.ndarray, cursor: np.ndarray) -> np.ndarray:
     """
     bins = np.ascontiguousarray(bins, np.int32)
     assert cursor.dtype == np.int64 and cursor.flags.c_contiguous
+    if bins.shape[0] == 0:
+        # a chunk may contribute zero rows to this hash range (common in
+        # merge_chunk_files_range); the fallback's run-length math would
+        # index an empty array
+        return np.empty(0, np.int64)
     lib = get_lib()
     if lib is not None:
         pos = np.empty(bins.shape[0], np.int64)

@@ -572,12 +572,15 @@ def merge_chunk_files_range(cfg: PQTConfig, paths, lo: int, hi: int,
     feeds `parallel.distributed.build_local_shards` directly.
 
     Returns (prefix (hi-lo,) int32 rebased to the slice, counts (hi-lo,)
-    int32, payload (n_local, w) int32, vectors_csr or None) — same
-    within-bin ascending-id determinism as the global merge.
+    int32, payload (n_local, w) int32, vectors_csr or None, pair_occ or
+    None — the OR of the chunks' code-pair occupancy, replicated across
+    hosts so the sharded pair filter matches the single-process engine's)
+    — same within-bin ascending-id determinism as the global merge.
     """
     span = hi - lo
     hist = np.zeros((span,), np.int64)
     vec_dtype = vec_dim = None
+    pair_occ = None
     for p in paths:
         with np.load(p) as z:
             if keep_vectors and "vecs" not in z.files:
@@ -587,6 +590,9 @@ def merge_chunk_files_range(cfg: PQTConfig, paths, lo: int, hi: int,
             b = z["bins"]
             m = (b >= lo) & (b < hi)
             hist += np.bincount(b[m] - lo, minlength=span)
+            if "pair_occ" in z.files:
+                pair_occ = (z["pair_occ"] if pair_occ is None
+                            else pair_occ | z["pair_occ"])
             if keep_vectors and vec_dtype is None:
                 vec_dtype = z["vecs"].dtype
                 vec_dim = int(z["vecs"].shape[1])
@@ -609,7 +615,8 @@ def merge_chunk_files_range(cfg: PQTConfig, paths, lo: int, hi: int,
         native.scatter_rows(np.ascontiguousarray(rows), pos, payload)
         if vc is not None:
             native.scatter_rows(np.ascontiguousarray(vc[m]), pos, vecs)
-    return (prefix.astype(np.int32), hist.astype(np.int32), payload, vecs)
+    return (prefix.astype(np.int32), hist.astype(np.int32), payload, vecs,
+            pair_occ)
 
 
 def merge_chunk_files(cfg: PQTConfig, tree: PQTree, paths,

@@ -61,8 +61,18 @@ def main(argv=None):
     paths = artifact_paths(args.basename, cfg)
     tree = artifacts.load_tree(paths["tree"], cfg)
     db = artifacts.load_database(paths["db"], cfg)
+    # spilled (sidecar) leaves come back as lazy host memmaps: upload them
+    # ONCE — jitted calls would otherwise re-transfer the whole multi-GB
+    # database on every batch
+    db = db._replace(**{f: jnp.asarray(np.asarray(getattr(db, f)))
+                        for f in ("payload", "vectors", "vectors_csr")
+                        if isinstance(getattr(db, f), np.memmap)})
     print(f"database: {db.n_vectors} vectors")
 
+    if args.sharded and args.refine:
+        raise SystemExit("--refine is not available with --sharded "
+                         "(sharded modes: line, or exact via "
+                         "--exact-rerank)")
     if args.sharded:
         from jax.sharding import Mesh
         from pqt_tpu.parallel.sharded import (make_sharded_query_fn,

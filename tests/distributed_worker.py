@@ -72,7 +72,7 @@ def main():
         os.path.join(work, f) for f in os.listdir(work)
         if f.startswith("chunk") and f.endswith(".npz"))
     assert len(chunks) >= 2, chunks
-    local_prefix, local_counts, local_payload, local_vec_csr = \
+    local_prefix, local_counts, local_payload, local_vec_csr, pair_occ = \
         merge_chunk_files_range(CFG, chunks, lo, hi, keep_vectors=True)
 
     local_sdb = D.build_local_shards(
@@ -81,7 +81,9 @@ def main():
 
     # No global_max_shard_n: place_host_sharded_db must exchange the pad
     # budget itself via multihost_utils.process_allgather (ADVICE r4 fix).
-    sdb = D.place_host_sharded_db(CFG, local_sdb, mesh)
+    # pair_occ (OR of the chunks') is replicated so the sharded pair
+    # filter matches the single-process engine's.
+    sdb = D.place_host_sharded_db(CFG, local_sdb, mesh, pair_occ=pair_occ)
     tree_g = D.replicate(mesh, tree)
     queries_g = D.replicate(mesh, queries)
 

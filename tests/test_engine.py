@@ -202,7 +202,7 @@ def test_merge_chunk_files_range_partitions_full_merge(trained, tmp_path):
     H = SMALL_CFG.hash_size
     mid = H // 2
     parts = [merge_chunk_files_range(SMALL_CFG, paths, lo, hi,
-                                     keep_vectors=True)
+                                     keep_vectors=True)[:4]
              for lo, hi in ((0, mid), (mid, H))]
     payload_cat = np.concatenate([p[2] for p in parts])
     vec_cat = np.concatenate([p[3] for p in parts])

@@ -113,3 +113,37 @@ class TestArtifacts:
         assert len(calls) == 1   # second call loaded from disk
         np.testing.assert_array_equal(np.asarray(t.cb1),
                                       np.asarray(tree.cb1))
+
+
+def test_resave_spilled_database_same_path(tmp_path):
+    """Re-saving a loaded spilled database to its own path must not
+    truncate the live sidecar under its own mapping (r5 review finding:
+    'wb' on the mapped file -> SIGBUS + data loss)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pqt_tpu.config import PQTConfig
+    from pqt_tpu.io import artifacts
+    from pqt_tpu.models.db import PQTDatabase, payload_width
+    cfg = PQTConfig(dim=32, p=4, c1=8, c2=4, line_parts=8,
+                    hash_size=1 << 10, k1_build=4, k1_query=4)
+    w = payload_width(cfg)
+    n = 64
+    pay = np.memmap(str(tmp_path / "p.bin"), np.int32, mode="w+",
+                    shape=(n, w))
+    pay[:] = np.arange(n * w, dtype=np.int32).reshape(n, w)
+    prefix = np.zeros(cfg.hash_size, np.int32)
+    counts = np.zeros(cfg.hash_size, np.int32)
+    counts[0] = n
+    prefix2 = np.stack([prefix, prefix + counts], axis=1)
+    db = PQTDatabase(prefix=jnp.asarray(prefix), counts=jnp.asarray(counts),
+                     payload=pay, pair_occ=None, vectors=None,
+                     prefix2=jnp.asarray(prefix2))
+    base = str(tmp_path / "db")
+    artifacts.save_database(base, cfg, db)
+    db1 = artifacts.load_database(base, cfg)
+    assert isinstance(db1.payload, np.memmap)
+    artifacts.save_database(base, cfg, db1)      # re-save to same path
+    db2 = artifacts.load_database(base, cfg)
+    np.testing.assert_array_equal(np.asarray(db2.payload),
+                                  np.arange(n * w,
+                                            dtype=np.int32).reshape(n, w))

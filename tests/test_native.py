@@ -96,3 +96,12 @@ def test_scatter_rows_roundtrip(rng):
     dst = np.zeros((n, w), np.int32)
     native.scatter_rows(src, pos, dst)
     np.testing.assert_array_equal(dst[pos], src)
+
+
+def test_place_positions_empty_chunk():
+    """A chunk contributing zero rows to a hash range must not crash the
+    fallback path (r5 review finding)."""
+    cursor = np.zeros(16, np.int64)
+    pos = native.place_positions(np.empty(0, np.int32), cursor)
+    assert pos.shape == (0,)
+    np.testing.assert_array_equal(cursor, np.zeros(16, np.int64))
