@@ -150,3 +150,16 @@ def test_query_main_second_run_loads_artifacts(dataset, capsys):
         "--kmeans-iters", "8"] + common)
     out = capsys.readouterr().out
     assert "loading tree from" in out
+
+
+def test_query_refine_sharded_conflict_errors(dataset):
+    """--refine with --sharded must fail loudly, not silently serve a
+    different mode (r5 review finding)."""
+    d, *_ = dataset
+    common = ["--p", "4", "--c1", "8", "--c2", "4", "--lineparts", "8",
+              "--hashsize", str(1 << 14)]
+    with pytest.raises(SystemExit, match="refine"):
+        query_tool.main([
+            "--basename", str(d / "out"),
+            "--queries", str(d / "query.fvecs"),
+            "--dim", "32", "--refine", "--sharded", "2"] + common)
